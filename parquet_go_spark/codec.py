@@ -1,0 +1,287 @@
+"""Self-describing encoded-blob container over pyarrow arrays.
+
+This is the engine's analogue of a Parquet *page* + ColumnMetaData
+(parquet.thrift:797-831, 875-940): one blob = one column chunk, carrying
+its own codec id, dtype, value count, optional validity section, and an
+optional entropy second stage (encoding ⊥ compression, exactly as in
+Parquet). The reference's per-encoding Go paths are re-expressed as the
+numpy kernels in ``kernels/``.
+
+Blob layout (little-endian):
+
+    u8 version=1 | u8 dtype | u8 codec | u8 entropy | u64 n | u64 raw_len
+    [entropy-compressed payload]
+
+payload:
+
+    u8 has_nulls | [u64 n_valid | u32 mask_len | rle(validity bits)]
+    codec body over the non-null values
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pyarrow as pa
+
+from .kernels.bitpack import bit_width
+from .kernels.delta import delta_decode, delta_encode, for_decode, for_encode
+from .kernels.plain import (
+    bool_decode,
+    bool_encode,
+    bss_decode,
+    bss_encode,
+    str_decode,
+    str_encode,
+)
+from .kernels.rle import rle_decode, rle_encode
+
+__all__ = ["encode_array", "decode_array", "CODECS", "ENTROPIES"]
+
+_HDR = struct.Struct("<BBBBQQ")
+
+# dtype codes
+_DT_INT32, _DT_INT64, _DT_F32, _DT_F64, _DT_STR, _DT_BOOL = 1, 2, 3, 4, 5, 6
+_DT_TS_UTC, _DT_TS_NAIVE, _DT_DATE32, _DT_INT16, _DT_INT8 = 7, 8, 9, 10, 11
+
+# codec codes
+_C_PLAIN, _C_PLAIN_STR, _C_DICT, _C_RLE, _C_DELTA, _C_FOR, _C_BSS, _C_FSST, _C_BOOL = (
+    1, 2, 3, 4, 5, 6, 7, 8, 9,
+)
+
+CODECS = {
+    "plain": _C_PLAIN, "dict": _C_DICT, "rle": _C_RLE, "delta": _C_DELTA,
+    "for": _C_FOR, "bss": _C_BSS, "fsst": _C_FSST,
+}
+_CODEC_NAMES = {v: k for k, v in CODECS.items()}
+_CODEC_NAMES[_C_PLAIN_STR] = "plain"
+_CODEC_NAMES[_C_BOOL] = "plain"
+
+ENTROPIES = {"none": 0, "zlib": 1, "zstd": 2}
+_ENTROPY_NAMES = {v: k for k, v in ENTROPIES.items()}
+
+_zstd = pa.Codec("zstd")
+
+
+def _dtype_code(t: pa.DataType) -> int:
+    if pa.types.is_int32(t):
+        return _DT_INT32
+    if pa.types.is_int64(t):
+        return _DT_INT64
+    if pa.types.is_float32(t):
+        return _DT_F32
+    if pa.types.is_float64(t):
+        return _DT_F64
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return _DT_STR
+    if pa.types.is_boolean(t):
+        return _DT_BOOL
+    if pa.types.is_timestamp(t):
+        return _DT_TS_UTC if t.tz else _DT_TS_NAIVE
+    if pa.types.is_date32(t):
+        return _DT_DATE32
+    if pa.types.is_int16(t):
+        return _DT_INT16
+    if pa.types.is_int8(t):
+        return _DT_INT8
+    raise TypeError(f"unsupported arrow type: {t}")
+
+
+_ARROW_TYPES = {
+    _DT_INT32: pa.int32(), _DT_INT64: pa.int64(), _DT_F32: pa.float32(),
+    _DT_F64: pa.float64(), _DT_STR: pa.string(), _DT_BOOL: pa.bool_(),
+    _DT_TS_UTC: pa.timestamp("us", tz="UTC"), _DT_TS_NAIVE: pa.timestamp("us"),
+    _DT_DATE32: pa.date32(), _DT_INT16: pa.int16(), _DT_INT8: pa.int8(),
+}
+_NUMPY_TYPES = {
+    _DT_INT32: np.int32, _DT_INT64: np.int64, _DT_F32: np.float32,
+    _DT_F64: np.float64, _DT_TS_UTC: np.int64, _DT_TS_NAIVE: np.int64,
+    _DT_DATE32: np.int32, _DT_INT16: np.int16, _DT_INT8: np.int8,
+}
+_INT_LIKE = {_DT_INT32, _DT_INT64, _DT_TS_UTC, _DT_TS_NAIVE, _DT_DATE32,
+             _DT_INT16, _DT_INT8}
+
+
+def _num_values(arr: pa.Array) -> np.ndarray:
+    """Non-null numeric values as a numpy array (ints/floats/ts/date)."""
+    a = arr.drop_null() if arr.null_count else arr
+    t = a.type
+    if pa.types.is_timestamp(t):
+        a = a.cast(pa.int64())
+    elif pa.types.is_date32(t):
+        a = a.cast(pa.int32())
+    return a.to_numpy(zero_copy_only=False)
+
+
+def _str_parts(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """Non-null strings → (lengths:int64, data:uint8) contiguous."""
+    a = arr.drop_null() if arr.null_count else arr
+    a = a.cast(pa.large_string())
+    if len(a) == 0:
+        return np.zeros(0, np.int64), np.zeros(0, np.uint8)
+    off = np.frombuffer(a.buffers()[1], np.int64, len(a) + 1, offset=a.offset * 8)
+    data = np.frombuffer(a.buffers()[2], np.uint8)[off[0] : off[-1]]
+    return np.diff(off), data
+
+
+def _encode_values(arr: pa.Array, dt: int, codec: int) -> bytes:
+    """Codec body over the non-null values of ``arr``."""
+    if codec == _C_BOOL:
+        a = arr.drop_null() if arr.null_count else arr
+        return bool_encode(a.to_numpy(zero_copy_only=False))
+    if codec == _C_PLAIN_STR:
+        return str_encode(*_str_parts(arr))
+    if codec == _C_FSST:
+        from .kernels.fsst import fsst_encode
+
+        return fsst_encode(*_str_parts(arr))
+    if codec == _C_DICT:
+        a = arr.drop_null() if arr.null_count else arr
+        denc = a.dictionary_encode()
+        dictionary, indices = denc.dictionary, denc.indices
+        card = len(dictionary)
+        sub = _C_PLAIN_STR if dt == _DT_STR else _C_PLAIN
+        vblob = _encode_values(dictionary, dt, sub)
+        idx = indices.to_numpy(zero_copy_only=False).astype(np.uint64)
+        width = bit_width(card - 1) if card > 1 else 0
+        return (
+            struct.pack("<QI", card, len(vblob)) + vblob + rle_encode(idx, width)
+        )
+    # numeric kernels
+    v = _num_values(arr)
+    if codec == _C_PLAIN:
+        return np.ascontiguousarray(v).astype(v.dtype.newbyteorder("<")).tobytes()
+    if codec == _C_DELTA:
+        return delta_encode(v.astype(np.int64))
+    if codec == _C_FOR:
+        return for_encode(v.astype(np.int64))
+    if codec == _C_RLE:
+        ref = int(v.min()) if len(v) else 0
+        shifted = (v.astype(np.int64).view(np.uint64)
+                   - np.int64(ref).astype(np.uint64))
+        return struct.pack("<q", ref) + rle_encode(shifted)
+    if codec == _C_BSS:
+        return bss_encode(v)
+    raise ValueError(f"unknown codec id {codec}")
+
+
+def _decode_values(body: memoryview, dt: int, codec: int, n: int) -> pa.Array:
+    atype = _ARROW_TYPES[dt]
+    if codec == _C_BOOL:
+        return pa.array(bool_decode(body, n), type=pa.bool_())
+    if codec in (_C_PLAIN_STR, _C_FSST):
+        if codec == _C_FSST:
+            from .kernels.fsst import fsst_decode
+
+            offsets, data = fsst_decode(body)
+        else:
+            offsets, data = str_decode(body)
+        arr = pa.Array.from_buffers(
+            pa.large_string(), n,
+            [None, pa.py_buffer(np.ascontiguousarray(offsets).tobytes()),
+             pa.py_buffer(np.ascontiguousarray(data).tobytes())],
+        )
+        return arr.cast(pa.string())
+    if codec == _C_DICT:
+        card, vlen = struct.unpack_from("<QI", body, 0)
+        sub = _C_PLAIN_STR if dt == _DT_STR else _C_PLAIN
+        values = _decode_values(body[12 : 12 + vlen], dt, sub, card)
+        idx = rle_decode(body[12 + vlen :]).astype(np.int32)
+        if len(idx) != n:
+            raise ValueError("dict index count mismatch")
+        return pa.DictionaryArray.from_arrays(
+            pa.array(idx, type=pa.int32()), values
+        ).cast(atype)
+    npt = np.dtype(_NUMPY_TYPES[dt])
+    if codec == _C_PLAIN:
+        v = np.frombuffer(body, npt.newbyteorder("<"), count=n).astype(npt)
+    elif codec == _C_DELTA:
+        v = delta_decode(body).astype(npt)
+    elif codec == _C_FOR:
+        v = for_decode(body).astype(npt)
+    elif codec == _C_RLE:
+        (ref,) = struct.unpack_from("<q", body, 0)
+        v = (rle_decode(body[8:]) + np.int64(ref).astype(np.uint64)).view(
+            np.int64
+        ).astype(npt)
+    elif codec == _C_BSS:
+        v = bss_decode(body, n, npt)
+    else:
+        raise ValueError(f"unknown codec id {codec}")
+    if dt in (_DT_TS_UTC, _DT_TS_NAIVE, _DT_DATE32):
+        return pa.array(v, type=_ARROW_TYPES[{_DT_TS_UTC: _DT_INT64,
+                                              _DT_TS_NAIVE: _DT_INT64,
+                                              _DT_DATE32: _DT_INT32}[dt]]).cast(atype)
+    return pa.array(v, type=atype)
+
+
+def encode_array(arr: pa.Array, codec: str, entropy: str = "none") -> bytes:
+    """Encode one column chunk (a pyarrow Array) into a self-describing blob."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    dt = _dtype_code(arr.type)
+    cid = CODECS[codec]
+    if cid == _C_PLAIN and dt == _DT_STR:
+        cid = _C_PLAIN_STR
+    if cid == _C_PLAIN and dt == _DT_BOOL:
+        cid = _C_BOOL
+    n = len(arr)
+
+    if arr.null_count:
+        valid = arr.is_valid().to_numpy(zero_copy_only=False).astype(np.uint64)
+        mask_blob = rle_encode(valid, 1)
+        null_sec = struct.pack("<BQI", 1, n - arr.null_count, len(mask_blob)) + mask_blob
+    else:
+        null_sec = struct.pack("<B", 0)
+
+    payload = null_sec + _encode_values(arr, dt, cid)
+    eid = ENTROPIES[entropy]
+    raw_len = len(payload)
+    if eid == 1:
+        payload = zlib.compress(payload, 6)
+    elif eid == 2:
+        payload = _zstd.compress(payload, asbytes=True)
+    return _HDR.pack(1, dt, cid, eid, n, raw_len) + payload
+
+
+def decode_array(blob: bytes | memoryview) -> pa.Array:
+    """Inverse of :func:`encode_array`."""
+    version, dt, cid, eid, n, raw_len = _HDR.unpack_from(blob, 0)
+    if version != 1:
+        raise ValueError(f"bad blob version {version}")
+    if eid not in (0, 1, 2):
+        raise ValueError(f"unknown entropy codec id {eid}")
+    payload = bytes(memoryview(blob)[_HDR.size :])
+    if eid == 1:
+        payload = zlib.decompress(payload)
+    elif eid == 2:
+        payload = _zstd.decompress(payload, raw_len, asbytes=True)
+    mv = memoryview(payload)
+    (has_nulls,) = struct.unpack_from("<B", mv, 0)
+    if not has_nulls:
+        return _decode_values(mv[1:], dt, cid, n)
+    n_valid, mask_len = struct.unpack_from("<QI", mv, 1)
+    valid = rle_decode(mv[13 : 13 + mask_len]).astype(bool)
+    vals = _decode_values(mv[13 + mask_len :], dt, cid, n_valid)
+    if n_valid == 0:
+        return pa.nulls(n, _ARROW_TYPES[dt])
+    # re-expand with nulls: take(valid_rank or null) — vectorized in arrow
+    idx = np.zeros(n, dtype=np.int64)
+    idx[valid] = np.arange(n_valid)
+    taken = vals.take(pa.array(idx, type=pa.int64()))
+    return pa.compute.if_else(pa.array(valid), taken, pa.nulls(n, vals.type))
+
+
+def blob_info(blob: bytes | memoryview) -> dict:
+    """Introspect a blob header (codec/entropy names, counts, sizes)."""
+    _, dt, cid, eid, n, raw_len = _HDR.unpack_from(blob, 0)
+    return {
+        "dtype": str(_ARROW_TYPES[dt]),
+        "codec": _CODEC_NAMES[cid],
+        "entropy": _ENTROPY_NAMES[eid],
+        "n_values": n,
+        "raw_payload": raw_len,
+        "blob_bytes": len(blob),
+    }

@@ -1,0 +1,135 @@
+"""Per-column-chunk codec auto-selection.
+
+Mirrors parquet-go's writer encoding choices (dictionary-first with
+PLAIN fallback when the dictionary grows too large — observable in
+ColumnMetaData.encodings / encoding_stats, parquet.thrift:879-881,
+914-917) and extends them with DELTA for sorted-ish ints/timestamps and
+FSST for high-cardinality text, per the north_star in BASELINE.json.
+
+Selection is stats-driven: :func:`profile_array` computes cheap
+vectorized statistics on the chunk (or a sample), :func:`choose_codec`
+maps them to a (codec, entropy) pair, and the encoder verifies the
+choice (if the chosen blob is not smaller than plain, fall back) — the
+same guard the reference applies to its dictionary pages.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+import pyarrow as pa
+
+__all__ = ["ColumnStats", "profile_array", "choose_codec"]
+
+DICT_MAX_CARD = 1 << 16          # dictionary fallback threshold (parquet-like)
+DICT_MAX_RATIO = 0.5             # distinct/n above this → dictionary won't pay
+SORTED_FRAC_FOR_DELTA = 0.9      # fraction of non-negative diffs → delta
+
+
+@dataclass
+class ColumnStats:
+    name: str
+    arrow_type: str
+    n: int
+    null_count: int
+    n_distinct: int
+    sorted_frac: float = 0.0     # fraction of consecutive non-decreasing pairs
+    run_frac: float = 0.0        # 1 - (runs / n): higher = more RLE-friendly
+    avg_len: float = 0.0         # strings only
+    min_val: object = None
+    max_val: object = None
+    extras: dict = field(default_factory=dict)
+
+
+def profile_array(arr: pa.Array, name: str = "", sample: int = 65536) -> ColumnStats:
+    """Vectorized chunk statistics (the reference's Statistics accumulation,
+    parquet.thrift:267-312, plus selector inputs)."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n = len(arr)
+    nulls = arr.null_count
+    t = arr.type
+    st = ColumnStats(name=name, arrow_type=str(t), n=n, null_count=nulls,
+                     n_distinct=0)
+    if n == 0:
+        return st
+    a = arr.drop_null() if nulls else arr
+    # sample for the expensive stats on very large chunks
+    s = a.slice(0, sample) if len(a) > sample else a
+    st.n_distinct = len(pa.compute.unique(s))
+    if len(a) > sample and st.n_distinct == len(s):
+        # saturated sample → treat as all-distinct
+        st.n_distinct = len(a)
+
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        lens = pa.compute.utf8_length(s).to_numpy(zero_copy_only=False)
+        st.avg_len = float(lens.mean()) if len(lens) else 0.0
+        mm = pa.compute.min_max(a)
+        st.min_val, st.max_val = mm["min"].as_py(), mm["max"].as_py()
+        sv = s.to_numpy(zero_copy_only=False)
+        if len(sv) > 1:
+            st.run_frac = 1.0 - float((sv[1:] != sv[:-1]).sum() + 1) / len(sv)
+        return st
+
+    if pa.types.is_boolean(t):
+        st.n_distinct = min(st.n_distinct, 2)
+        return st
+
+    if pa.types.is_floating(t):
+        v = s.to_numpy(zero_copy_only=False)
+        mm = pa.compute.min_max(a)
+        st.min_val, st.max_val = mm["min"].as_py(), mm["max"].as_py()
+        if len(v) > 1:
+            st.run_frac = 1.0 - float((np.diff(v) != 0).sum() + 1) / len(v)
+        return st
+
+    # int / timestamp / date
+    av = a
+    if pa.types.is_timestamp(t):
+        av = a.cast(pa.int64())
+        s = s.cast(pa.int64())
+    elif pa.types.is_date32(t):
+        av = a.cast(pa.int32())
+        s = s.cast(pa.int32())
+    v = s.to_numpy(zero_copy_only=False).astype(np.int64)
+    mm = pa.compute.min_max(av)
+    st.min_val, st.max_val = mm["min"].as_py(), mm["max"].as_py()
+    if len(v) > 1:
+        d = np.diff(v)
+        st.sorted_frac = float((d >= 0).mean())
+        st.run_frac = 1.0 - float((d != 0).sum() + 1) / len(v)
+    return st
+
+
+def choose_codec(st: ColumnStats) -> tuple[str, str]:
+    """Map chunk stats → (codec, entropy). The encode path verifies the
+    choice against plain size and falls back (dict-page fallback parity)."""
+    t = st.arrow_type
+    n = max(st.n - st.null_count, 1)
+    distinct_ratio = st.n_distinct / n
+
+    if t == "bool":
+        return "plain", "none"
+
+    if "string" in t:
+        if st.n_distinct <= DICT_MAX_CARD and distinct_ratio <= DICT_MAX_RATIO:
+            return "dict", "zstd"
+        try:  # FSST for high-cardinality text when the kernel is available
+            from .kernels import fsst  # noqa: F401
+
+            return "fsst", "zstd"
+        except ImportError:
+            return "plain", "zstd"
+
+    if t in ("float", "double"):
+        return "bss", "zstd"
+
+    # ints / timestamps / dates
+    if st.n_distinct <= DICT_MAX_CARD and distinct_ratio <= 0.1 and st.run_frac > 0.3:
+        return "dict", "none"
+    if st.sorted_frac >= SORTED_FRAC_FOR_DELTA:
+        return "delta", "none"
+    if st.n_distinct <= DICT_MAX_CARD and distinct_ratio <= 0.1:
+        return "dict", "none"
+    return "for", "none"

@@ -1,0 +1,126 @@
+"""Blob container round-trips over pyarrow arrays (codec.py) + selector."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from parquet_go_spark.codec import blob_info, decode_array, encode_array
+from parquet_go_spark.plan import choose_codec, profile_array
+
+RNG = np.random.default_rng(42)
+
+
+def _rt(arr: pa.Array, codec: str, entropy: str = "none"):
+    blob = encode_array(arr, codec, entropy)
+    out = decode_array(blob)
+    assert out.type == arr.type, (out.type, arr.type)
+    assert out.equals(arr), f"{codec}/{entropy} mismatch"
+    return blob
+
+
+INT32 = pa.array(RNG.integers(-1000, 1000, 5000, dtype=np.int64).astype(np.int32),
+                 type=pa.int32())
+INT64 = pa.array(RNG.integers(-(2**40), 2**40, 5000, dtype=np.int64))
+SORTED = pa.array(np.cumsum(RNG.integers(1, 120, 5000)).astype(np.int64))
+DOUBLES = pa.array(RNG.normal(size=3000))
+STRINGS = pa.array([f"conv-{i % 97:08d}" for i in range(4000)])
+TEXT = pa.array(["word " * int(RNG.integers(3, 60)) + str(i) for i in range(500)])
+BOOLS = pa.array(RNG.random(2001) < 0.3)
+TS = pa.array(np.cumsum(RNG.integers(1, 120_000_000, 2000)).astype("datetime64[us]"),
+              type=pa.timestamp("us", tz="UTC"))
+TS_NAIVE = pa.array(np.cumsum(RNG.integers(1, 120_000_000, 2000)).astype("datetime64[us]"))
+
+
+@pytest.mark.parametrize("codec", ["plain", "for", "delta", "dict", "rle", "bss"])
+@pytest.mark.parametrize("arr", [INT32, INT64, SORTED], ids=["i32", "i64", "sorted"])
+def test_int_codecs(arr, codec):
+    _rt(arr, codec)
+    _rt(arr, codec, "zstd")
+
+
+def test_doubles():
+    _rt(DOUBLES, "plain")
+    _rt(DOUBLES, "bss", "zstd")
+
+
+@pytest.mark.parametrize("codec", ["plain", "dict"])
+def test_strings(codec):
+    _rt(STRINGS, codec)
+    _rt(STRINGS, codec, "zstd")
+    _rt(TEXT, codec, "zlib")
+
+
+def test_bools_and_ts():
+    _rt(BOOLS, "plain")
+    _rt(TS, "delta")
+    _rt(TS, "dict")
+    _rt(TS_NAIVE, "delta", "zstd")
+
+
+def test_empty_and_single():
+    for arr in [pa.array([], type=pa.int64()), pa.array([], type=pa.string()),
+                pa.array([7], type=pa.int64()), pa.array(["x"])]:
+        codecs = (["plain", "dict"] if pa.types.is_string(arr.type)
+                  else ["plain", "dict", "for", "delta", "rle"])
+        for c in codecs:
+            _rt(arr, c)
+
+
+def test_nulls():
+    a = pa.array([1, None, 3, None, 5] * 100, type=pa.int64())
+    _rt(a, "for", "zstd")
+    _rt(a, "dict")
+    s = pa.array(["a", None, "ccc", "", None] * 50)
+    _rt(s, "plain", "zstd")
+    _rt(s, "dict")
+
+
+def test_all_null():
+    a = pa.array([None] * 10, type=pa.int64())
+    _rt(a, "plain")
+
+
+def test_blob_info():
+    blob = encode_array(SORTED, "delta", "zstd")
+    info = blob_info(blob)
+    assert info["codec"] == "delta" and info["entropy"] == "zstd"
+    assert info["n_values"] == 5000
+
+
+def test_dict_beats_plain_on_lowcard():
+    plain = encode_array(STRINGS, "plain")
+    d = encode_array(STRINGS, "dict")
+    assert len(d) < len(plain) / 4
+
+
+def test_delta_beats_plain_on_sorted():
+    assert len(encode_array(SORTED, "delta")) < len(encode_array(SORTED, "plain")) / 4
+
+
+# ---------- selector ----------
+
+def test_selector_lowcard_string_picks_dict():
+    st = profile_array(STRINGS, "role")
+    assert choose_codec(st)[0] == "dict"
+
+
+def test_selector_sorted_int_picks_delta():
+    st = profile_array(SORTED, "ts")
+    assert choose_codec(st)[0] == "delta"
+
+
+def test_selector_random_int_picks_for():
+    st = profile_array(INT64, "k")
+    assert choose_codec(st)[0] == "for"
+
+
+def test_selector_double_picks_bss():
+    st = profile_array(DOUBLES, "v")
+    assert choose_codec(st)[0] == "bss"
+
+
+def test_selector_hicard_text():
+    st = profile_array(TEXT, "text")
+    assert choose_codec(st)[0] in ("fsst", "plain")  # fsst once kernel lands
