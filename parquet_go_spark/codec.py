@@ -45,6 +45,7 @@ _HDR = struct.Struct("<BBBBQQ")
 # dtype codes
 _DT_INT32, _DT_INT64, _DT_F32, _DT_F64, _DT_STR, _DT_BOOL = 1, 2, 3, 4, 5, 6
 _DT_TS_UTC, _DT_TS_NAIVE, _DT_DATE32, _DT_INT16, _DT_INT8 = 7, 8, 9, 10, 11
+_DT_LIST_F32, _DT_LIST_F64 = 12, 13
 
 # codec codes
 _C_PLAIN, _C_PLAIN_STR, _C_DICT, _C_RLE, _C_DELTA, _C_FOR, _C_BSS, _C_FSST, _C_BOOL = (
@@ -86,6 +87,14 @@ def _dtype_code(t: pa.DataType) -> int:
         return _DT_INT16
     if pa.types.is_int8(t):
         return _DT_INT8
+    if (pa.types.is_list(t) or pa.types.is_large_list(t)) and pa.types.is_float32(
+        t.value_type
+    ):
+        return _DT_LIST_F32
+    if (pa.types.is_list(t) or pa.types.is_large_list(t)) and pa.types.is_float64(
+        t.value_type
+    ):
+        return _DT_LIST_F64
     raise TypeError(f"unsupported arrow type: {t}")
 
 
@@ -94,6 +103,7 @@ _ARROW_TYPES = {
     _DT_F64: pa.float64(), _DT_STR: pa.string(), _DT_BOOL: pa.bool_(),
     _DT_TS_UTC: pa.timestamp("us", tz="UTC"), _DT_TS_NAIVE: pa.timestamp("us"),
     _DT_DATE32: pa.date32(), _DT_INT16: pa.int16(), _DT_INT8: pa.int8(),
+    _DT_LIST_F32: pa.list_(pa.float32()), _DT_LIST_F64: pa.list_(pa.float64()),
 }
 _NUMPY_TYPES = {
     _DT_INT32: np.int32, _DT_INT64: np.int64, _DT_F32: np.float32,
@@ -126,8 +136,27 @@ def _str_parts(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
     return np.diff(off), data
 
 
+def _list_parts(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """Non-null list<float> → (lengths:int64, flat values)."""
+    a = arr.drop_null() if arr.null_count else arr
+    a = a.cast(pa.large_list(a.type.value_type))
+    if len(a) == 0:
+        return np.zeros(0, np.int64), np.zeros(0, np.uint8)
+    off = np.frombuffer(a.buffers()[1], np.int64, len(a) + 1, offset=a.offset * 8)
+    flat = a.flatten().to_numpy(zero_copy_only=False)
+    return np.diff(off), flat
+
+
 def _encode_values(arr: pa.Array, dt: int, codec: int) -> bytes:
     """Codec body over the non-null values of ``arr``."""
+    if dt in (_DT_LIST_F32, _DT_LIST_F64):
+        lengths, flat = _list_parts(arr)
+        len_blob = for_encode(lengths)
+        return (
+            struct.pack("<QI", len(lengths), len(len_blob))
+            + len_blob
+            + np.ascontiguousarray(flat).tobytes()
+        )
     if codec == _C_BOOL:
         a = arr.drop_null() if arr.null_count else arr
         return bool_encode(a.to_numpy(zero_copy_only=False))
@@ -169,6 +198,19 @@ def _encode_values(arr: pa.Array, dt: int, codec: int) -> bytes:
 
 def _decode_values(body: memoryview, dt: int, codec: int, n: int) -> pa.Array:
     atype = _ARROW_TYPES[dt]
+    if dt in (_DT_LIST_F32, _DT_LIST_F64):
+        n_lists, len_blob_len = struct.unpack_from("<QI", body, 0)
+        lengths = for_decode(body[12 : 12 + len_blob_len])
+        offsets = np.zeros(n_lists + 1, dtype=np.int64)
+        np.cumsum(lengths, out=offsets[1:])
+        vt = np.float32 if dt == _DT_LIST_F32 else np.float64
+        flat = np.frombuffer(body, vt, offset=12 + len_blob_len)
+        arr = pa.Array.from_buffers(
+            pa.large_list(atype.value_type), n_lists,
+            [None, pa.py_buffer(np.ascontiguousarray(offsets).tobytes())],
+            children=[pa.array(flat, type=atype.value_type)],
+        )
+        return arr.cast(atype)
     if codec == _C_BOOL:
         return pa.array(bool_decode(body, n), type=pa.bool_())
     if codec in (_C_PLAIN_STR, _C_FSST):

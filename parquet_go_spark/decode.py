@@ -1,0 +1,72 @@
+"""Distributed decode path: manifest → chunk files → DataFrame.
+
+Spark-first re-expression of the reference's read path
+(⟨ref⟩ reader.go; SURVEY.md §3.2): projection pushdown (only requested
+blobs are decoded — P1 parity), stats-based chunk skipping from manifest
+min/max (P3, parquet.thrift:267-312), and CRC verification per blob
+(M7, parquet.thrift:807-824).
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from .codec import decode_array
+
+__all__ = ["make_decode_fn", "prune_entries"]
+
+
+def prune_entries(entries: list[dict], column_predicates: dict | None):
+    """Chunk skipping on manifest stats: {col: (lo, hi)} string-compared
+    min/max overlap — the manifest plays Parquet's ColumnIndex role."""
+    if not column_predicates:
+        return entries
+    kept = []
+    for e in entries:
+        skip = False
+        for col, (lo, hi) in column_predicates.items():
+            m = e["columns"].get(col)
+            if m is None or m["min"] is None:
+                continue
+            if (hi is not None and m["min"] > str(hi)) or (
+                lo is not None and m["max"] < str(lo)
+            ):
+                skip = True
+                break
+        if not skip:
+            kept.append(e)
+    return kept
+
+
+def make_decode_fn(columns: list[str], verify_crc: bool = True):
+    """Build the mapInArrow UDF: iterator[RecordBatch of file paths] →
+    decoded RecordBatches in the requested column order."""
+
+    def decode_partition(batches):
+        for b in batches:
+            for fpath in b.column("file").to_pylist():
+                t = pq.read_table(fpath)
+                by_col = {
+                    t.column("column")[i].as_py(): i for i in range(t.num_rows)
+                }
+                arrays, names = [], []
+                for name in columns:
+                    if name not in by_col:
+                        raise KeyError(f"column {name!r} not in chunk {fpath}")
+                    i = by_col[name]
+                    blob = t.column("blob")[i].as_py()
+                    if verify_crc:
+                        expect = t.column("crc32")[i].as_py()
+                        if zlib.crc32(blob) != expect:
+                            raise IOError(
+                                f"CRC mismatch for {name} in {fpath}"
+                            )
+                    arr = decode_array(blob)
+                    arrays.append(arr)
+                    names.append(name)
+                yield pa.RecordBatch.from_arrays(arrays, names=names)
+
+    return decode_partition

@@ -1,0 +1,180 @@
+"""Distributed encode path: DataFrame → encoded chunk files + manifest rows.
+
+The Spark-first re-expression of the reference's write path
+(⟨ref⟩ writer.go; SURVEY.md §3.1/§3.4): instead of row-at-a-time
+``Writer.Write`` + row-group flushes, the whole table is
+
+    withColumn(_ck = pmod(xxhash64(part_key, turn_block), num_chunks))
+      .repartition(num_chunks, _ck)          # the one shuffle
+      .sortWithinPartitions(_ck, *key_cols)  # M8 sorting invariant
+      .mapInArrow(encode_partition)          # vectorized numpy kernels
+
+Chunk assignment is *content-addressed* (hash of key + turn-block salt),
+not sampled ranges: deterministic across job restarts (checkpoint
+resume) and skew-bounded (a conversation longer than ``salt_block``
+turns is split across chunks at turn-block boundaries — explicit skew
+handling per north_rule). Each task writes its chunk files directly
+(atomic tmp+rename) and emits one manifest-entry JSON per chunk.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+import time
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from . import manifest
+from .codec import blob_info, decode_array, encode_array
+from .plan import choose_codec, profile_array
+
+__all__ = ["make_encode_fn", "CHUNK_FILE_SCHEMA"]
+
+CHUNK_FILE_SCHEMA = pa.schema(
+    [
+        ("column", pa.string()),
+        ("codec", pa.string()),
+        ("entropy", pa.string()),
+        ("n_values", pa.int64()),
+        ("null_count", pa.int64()),
+        ("min", pa.string()),
+        ("max", pa.string()),
+        ("raw_bytes", pa.int64()),
+        ("enc_bytes", pa.int64()),
+        ("crc32", pa.int64()),
+        ("blob", pa.large_binary()),
+    ]
+)
+
+_MANIFEST_META_KEY = b"pgs_manifest_entry"
+
+
+def _encode_one_column(arr: pa.Array, name: str,
+                       override: tuple[str, str] | None) -> tuple[bytes, dict]:
+    st = profile_array(arr, name)
+    codec, entropy = override if override else choose_codec(st)
+    blob = encode_array(arr, codec, entropy)
+    # dictionary/codec fallback guard (parquet-go dict-page fallback parity):
+    # if the chosen encoding did not beat raw bytes, drop to plain+zstd.
+    if override is None and len(blob) > arr.nbytes:
+        alt = encode_array(arr, "plain", "zstd")
+        if len(alt) < len(blob):
+            blob, codec, entropy = alt, "plain", "zstd"
+    meta = {
+        "codec": codec,
+        "entropy": entropy,
+        "n": st.n,
+        "nulls": st.null_count,
+        "min": None if st.min_val is None else str(st.min_val),
+        "max": None if st.max_val is None else str(st.max_val),
+        "raw_bytes": int(arr.nbytes),
+        "enc_bytes": len(blob),
+        "crc32": zlib.crc32(blob),
+    }
+    return blob, meta
+
+
+def _write_chunk_file(path: str, tbl: pa.Table, entry: dict) -> None:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tbl = tbl.replace_schema_metadata(
+        {_MANIFEST_META_KEY: json.dumps(entry).encode()}
+    )
+    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path), suffix=".tmp")
+    os.close(fd)
+    try:
+        pq.write_table(tbl, tmp, compression="none")  # blobs are pre-compressed
+        os.replace(tmp, path)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+
+
+def read_chunk_entry(path: str) -> dict | None:
+    """Manifest entry embedded in an existing chunk file (resume path)."""
+    try:
+        meta = pq.read_schema(path).metadata or {}
+        raw = meta.get(_MANIFEST_META_KEY)
+        return json.loads(raw) if raw else None
+    except Exception:
+        return None  # unreadable/partial file → re-encode
+
+
+def make_encode_fn(table_dir: str, key_cols: tuple[str, ...],
+                   overrides: dict[str, tuple[str, str]] | None = None,
+                   resume: bool = True):
+    """Build the mapInArrow UDF: iterator[RecordBatch] → entry_json rows."""
+    overrides = overrides or {}
+
+    def encode_partition(batches):
+        from pyspark import TaskContext
+
+        tc = TaskContext.get()
+        attempt = f"task{tc.taskAttemptId()}" if tc else "local"
+        blist = list(batches)
+        if not blist:
+            return
+        tbl = pa.Table.from_batches(blist)
+        if tbl.num_rows == 0:
+            return
+        ck = tbl.column("_ck").to_numpy(zero_copy_only=False)
+        data = tbl.drop_columns(["_ck"])
+        # partition may hold several chunk keys (hash collisions) — rows are
+        # sorted by _ck first, so each chunk is a contiguous slice.
+        bounds = np.flatnonzero(np.diff(ck)) + 1
+        starts = np.concatenate([[0], bounds, [len(ck)]])
+        for i in range(len(starts) - 1):
+            lo, hi = int(starts[i]), int(starts[i + 1])
+            chunk_id = f"{int(ck[lo]):06d}"
+            fpath = os.path.join(table_dir, "chunks", f"chunk-{chunk_id}.parquet")
+            if resume and os.path.exists(fpath):
+                prev = read_chunk_entry(fpath)
+                if prev is not None and prev["n_rows"] == hi - lo:
+                    prev["reused"] = True
+                    prev["attempt"] = attempt
+                    yield pa.RecordBatch.from_pydict(
+                        {"entry_json": pa.array([json.dumps(prev)])}
+                    )
+                    continue
+            t0 = time.time()
+            chunk = data.slice(lo, hi - lo)
+            rows, columns_meta = [], {}
+            for name in chunk.column_names:
+                arr = chunk.column(name).combine_chunks()
+                blob, meta = _encode_one_column(arr, name, overrides.get(name))
+                columns_meta[name] = meta
+                rows.append(
+                    {
+                        "column": name, "codec": meta["codec"],
+                        "entropy": meta["entropy"], "n_values": meta["n"],
+                        "null_count": meta["nulls"], "min": meta["min"] or "",
+                        "max": meta["max"] or "", "raw_bytes": meta["raw_bytes"],
+                        "enc_bytes": meta["enc_bytes"], "crc32": meta["crc32"],
+                        "blob": blob,
+                    }
+                )
+            entry = {
+                "chunk_id": chunk_id,
+                "file": os.path.join("chunks", f"chunk-{chunk_id}.parquet"),
+                "n_rows": hi - lo,
+                "sort_order": list(key_cols),
+                "columns": columns_meta,
+                "raw_bytes": sum(m["raw_bytes"] for m in columns_meta.values()),
+                "enc_bytes": sum(m["enc_bytes"] for m in columns_meta.values()),
+                "engine": manifest.ENGINE_VERSION,
+                "attempt": attempt,
+                "reused": False,
+                "encode_s": 0.0,
+            }
+            ftbl = pa.Table.from_pylist(rows, schema=CHUNK_FILE_SCHEMA)
+            entry["encode_s"] = round(time.time() - t0, 4)
+            _write_chunk_file(fpath, ftbl, entry)
+            yield pa.RecordBatch.from_pydict(
+                {"entry_json": pa.array([json.dumps(entry)])}
+            )
+
+    return encode_partition

@@ -1,0 +1,89 @@
+"""Iceberg-style manifests: per-chunk lineage/metrics + atomic commit.
+
+Plays the role of Parquet's FileMetaData footer + ColumnMetaData
+(parquet.thrift:1257-1314, 875-940) at table granularity: every encoded
+chunk gets a manifest entry with per-column codec chain, sizes, stats,
+CRC and lineage; a snapshot commit is an atomic rename of
+``_manifest_list.json``. This is what makes encode jobs resumable from
+checkpoint (north_rule) — a rerun skips chunk files that are already
+present and CRC-valid.
+
+Layout under a table dir:
+
+    chunks/chunk-<key>.parquet     one file per chunk (blob rows)
+    _manifests/manifest-<n>.json   chunk entry list for snapshot n
+    _manifest_list.json            current snapshot pointer + schema
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+from typing import Any
+
+__all__ = ["commit", "load", "list_chunk_files", "ENGINE_VERSION"]
+
+ENGINE_VERSION = "parquet_go_spark-0.1.0"
+
+
+def _atomic_write_json(path: str, obj: Any) -> None:
+    d = os.path.dirname(path)
+    os.makedirs(d, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
+    try:
+        with os.fdopen(fd, "w") as f:
+            json.dump(obj, f, separators=(",", ":"))
+        os.replace(tmp, path)  # atomic on POSIX
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+
+
+def commit(table_dir: str, entries: list[dict], schema_ddl: str,
+           extra: dict | None = None) -> int:
+    """Write manifest-<snap>.json then atomically swing _manifest_list.json."""
+    prev = load(table_dir)
+    snapshot_id = (prev["snapshot_id"] + 1) if prev else 0
+    mpath = os.path.join(table_dir, "_manifests", f"manifest-{snapshot_id}.json")
+    entries = sorted(entries, key=lambda e: e["chunk_id"])
+    _atomic_write_json(mpath, {"entries": entries})
+    listing = {
+        "snapshot_id": snapshot_id,
+        "engine": ENGINE_VERSION,
+        "schema_ddl": schema_ddl,
+        "manifest": os.path.relpath(mpath, table_dir),
+        "n_chunks": len(entries),
+        "n_rows": sum(e["n_rows"] for e in entries),
+        "raw_bytes": sum(e["raw_bytes"] for e in entries),
+        "enc_bytes": sum(e["enc_bytes"] for e in entries),
+        "extra": extra or {},
+        "parent_snapshot_id": prev["snapshot_id"] if prev else None,
+    }
+    _atomic_write_json(os.path.join(table_dir, "_manifest_list.json"), listing)
+    return snapshot_id
+
+
+def load(table_dir: str) -> dict | None:
+    """Load current snapshot (listing + chunk entries); None if uncommitted."""
+    lpath = os.path.join(table_dir, "_manifest_list.json")
+    if not os.path.exists(lpath):
+        return None
+    with open(lpath) as f:
+        listing = json.load(f)
+    with open(os.path.join(table_dir, listing["manifest"])) as f:
+        listing["entries"] = json.load(f)["entries"]
+    return listing
+
+
+def list_chunk_files(table_dir: str) -> dict[str, str]:
+    """chunk_id → absolute chunk file path for files physically present
+    (used for checkpoint resume before any snapshot was committed)."""
+    cdir = os.path.join(table_dir, "chunks")
+    if not os.path.isdir(cdir):
+        return {}
+    out = {}
+    for fn in os.listdir(cdir):
+        if fn.startswith("chunk-") and fn.endswith(".parquet"):
+            out[fn[len("chunk-") : -len(".parquet")]] = os.path.join(cdir, fn)
+    return out

@@ -54,6 +54,8 @@ def profile_array(arr: pa.Array, name: str = "", sample: int = 65536) -> ColumnS
                      n_distinct=0)
     if n == 0:
         return st
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return st
     a = arr.drop_null() if nulls else arr
     # sample for the expensive stats on very large chunks
     s = a.slice(0, sample) if len(a) > sample else a
@@ -111,6 +113,9 @@ def choose_codec(st: ColumnStats) -> tuple[str, str]:
 
     if t == "bool":
         return "plain", "none"
+
+    if t.startswith("list") or t.startswith("large_list"):
+        return "plain", "zstd"
 
     if "string" in t:
         if st.n_distinct <= DICT_MAX_CARD and distinct_ratio <= DICT_MAX_RATIO:

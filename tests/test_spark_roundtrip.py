@@ -1,0 +1,116 @@
+"""End-to-end Spark encode → decode → bit-identity (SURVEY.md §5.2 #3/#5/#6)."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+import pytest
+
+from parquet_go_spark import manifest, table
+from parquet_go_spark.fixtures import make_transcripts_df
+
+
+@pytest.fixture(scope="module")
+def transcripts(spark):
+    return make_transcripts_df(spark, n_conv=300, seed=42).cache()
+
+
+def test_roundtrip_identity(spark, transcripts, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("tbl") / "t1")
+    summary = table.write_table(transcripts, out, num_chunks=6)
+    assert summary["n_rows"] == transcripts.count()
+    assert summary["n_chunks"] >= 1
+    decoded = table.read_table(spark, out)
+    res = table.verify_roundtrip(transcripts, decoded, ("conv_id", "turn_idx"))
+    assert res["identical"], res
+
+
+def test_compression_beats_raw(spark, transcripts, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("tbl") / "t2")
+    s = table.write_table(transcripts, out, num_chunks=4)
+    assert s["enc_bytes"] < s["raw_bytes"] / 2.5, s
+
+
+def test_projection_pushdown(spark, transcripts, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("tbl") / "t3")
+    table.write_table(transcripts, out, num_chunks=4)
+    df = table.read_table(spark, out, columns=["role", "conv_id"])
+    assert df.columns == ["role", "conv_id"]
+    src = transcripts.groupBy("role").count()
+    got = df.groupBy("role").count()
+    assert {tuple(r) for r in got.collect()} == {tuple(r) for r in src.collect()}
+
+
+def test_chunk_skipping(spark, transcripts, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("tbl") / "t4")
+    table.write_table(transcripts, out, num_chunks=8)
+    one_conv = "conv-00000007"
+    pruned = table.read_table(
+        spark, out, predicates={"conv_id": (one_conv, one_conv)}
+    )
+    full = transcripts.filter(f"conv_id = '{one_conv}'")
+    got = pruned.filter(f"conv_id = '{one_conv}'")
+    assert got.count() == full.count()
+    # pruning must actually skip chunks: a single conv lives in 1 chunk
+    listing = manifest.load(out)
+    from parquet_go_spark.decode import prune_entries
+
+    kept = prune_entries(listing["entries"], {"conv_id": (one_conv, one_conv)})
+    assert len(kept) < listing["n_chunks"]
+
+
+def test_resume_skips_committed_chunks(spark, transcripts, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("tbl") / "t5")
+    s1 = table.write_table(transcripts, out, num_chunks=6)
+    assert s1["reused_chunks"] == 0
+    # simulate a crashed job: manifest gone, some chunk files survive
+    os.unlink(os.path.join(out, "_manifest_list.json"))
+    victims = sorted(glob.glob(os.path.join(out, "chunks", "*.parquet")))[:2]
+    for v in victims:
+        os.unlink(v)
+    s2 = table.write_table(transcripts, out, num_chunks=6)
+    assert s2["reused_chunks"] == s1["n_chunks"] - len(victims)
+    assert s2["n_rows"] == s1["n_rows"]
+    decoded = table.read_table(spark, out)
+    assert table.verify_roundtrip(transcripts, decoded, ("conv_id", "turn_idx"))[
+        "identical"
+    ]
+
+
+def test_skew_salting_splits_giant_conv(spark, tmp_path_factory):
+    df = make_transcripts_df(spark, n_conv=50, seed=7, giant_conv_turns=100_000)
+    out = str(tmp_path_factory.mktemp("tbl") / "t6")
+    s = table.write_table(df, out, num_chunks=32, salt_block=16_384)
+    listing = manifest.load(out)
+    sizes = [e["n_rows"] for e in listing["entries"]]
+    # giant conv (100k turns, ~7 salt blocks) must be split across chunks;
+    # any one chunk holds at most a few hash-colliding blocks
+    assert max(sizes) < 100_000, sizes
+    assert max(sizes) <= 3 * 16_384 + 2_000, sizes
+    decoded = table.read_table(spark, out)
+    assert table.verify_roundtrip(df, decoded, ("conv_id", "turn_idx"))[
+        "identical"
+    ]
+
+
+def test_size_gate_vs_parquet_baseline(spark, tmp_path_factory):
+    """BASELINE.md: our encoded size must be ≤ pyarrow parquet snappy+dict."""
+    import pyarrow.parquet as pq
+
+    from parquet_go_spark.fixtures import make_transcripts
+
+    tbl = make_transcripts(2000, 42)
+    ref = str(tmp_path_factory.mktemp("ref") / "ref.parquet")
+    pq.write_table(tbl, ref, compression="snappy", use_dictionary=True)
+    ref_size = os.path.getsize(ref)
+
+    df = spark.createDataFrame(
+        tbl.to_pandas(),
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    out = str(tmp_path_factory.mktemp("tbl") / "t7")
+    s = table.write_table(df, out, num_chunks=4)
+    assert s["enc_bytes"] <= ref_size, (s["enc_bytes"], ref_size)
