@@ -1,0 +1,334 @@
+"""FSST string compression kernel, pure-numpy vectorized.
+
+FSST (Fast Static Symbol Table; Boncz/Neumann/Leis, VLDB 2020 — public
+literature, see PAPERS.md) is NOT part of Parquet or the reference
+(SURVEY.md §2.3 E8 row "FSST"); BASELINE.json's north_star mandates it
+for the high-cardinality ``text`` column, where the Parquet baseline's
+dictionary falls back to PLAIN (BASELINE.md: text = 86% of file size).
+
+Model: a static table of ≤255 symbols, each 1–8 bytes; code byte 255 is
+an escape (next stream byte is a literal). Encode replaces the greedy
+longest-match symbol at each position with its 1-byte code. Decode is a
+context-free table lookup — trivially vectorizable and branch-free.
+
+Everything here is numpy-vectorized ("no per-row Python" per
+input_hint); the inherently sequential greedy parse is solved with
+pointer doubling over the jump array (O(n log n) gathers instead of an
+O(n) Python loop):
+
+    next[i] = i + match_len[i];  chain from 0 = greedy parse.
+
+Strings are encoded as ONE concatenated byte buffer (original lengths
+stored separately, frame-of-reference bit-packed): symbol matches may
+cross string boundaries, which is harmless because decode is
+context-free and the buffer is re-split by the stored lengths.
+
+Blob layout (little-endian):
+
+    u8 version=1 | u8 n_symbols | u8 sym_len[n_symbols] | symbol bytes
+    u64 n_strings | u32 len_blob_len | FOR(lengths)
+    u64 raw_data_len | u64 enc_len | encoded stream
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from .delta import for_decode, for_encode
+
+__all__ = ["fsst_train", "fsst_encode", "fsst_decode"]
+
+_MAX_SYMBOLS = 255  # code 255 reserved for escape
+_MAX_LEN = 8
+_ESCAPE = 255
+_GENERATIONS = 5
+_SAMPLE_TARGET = 1 << 16  # train on ≤64 KiB sampled across the buffer
+_ENCODE_BLOCK = 1 << 22   # encode in 4 MiB segments (bounds temp memory)
+
+
+def _window_keys(data: np.ndarray) -> np.ndarray:
+    """key8[i] = uint64 of data[i:i+8], first byte most significant
+    (zero-padded past the end; callers mask by position validity).
+
+    One contiguous copy + byteswap view — the 8-pass shift/or loop is
+    ~30× slower in numpy (each pass allocates an n×8B temporary)."""
+    n = len(data)
+    pad = np.zeros(n + _MAX_LEN - 1, np.uint8)
+    pad[:n] = data
+    w = np.lib.stride_tricks.sliding_window_view(pad, _MAX_LEN)[:n]
+    return np.ascontiguousarray(w).view(">u8").ravel().astype(np.uint64)
+
+
+class _MatchTables:
+    """Match acceleration: 1-byte and 2-byte direct-lookup tables (exact,
+    one gather each) plus, per symbol length 3–8, a sorted key array for
+    exact longest-match via binary search — the same structure real FSST
+    builds in C (1/2-byte shortcut tables + hashed long-symbol probe)."""
+
+    def __init__(self, symbols: list[bytes]):
+        self.n_sym = len(symbols)
+        self.t1 = np.full(256, _ESCAPE, np.uint8)
+        self.t2 = np.full(1 << 16, _ESCAPE, np.uint8)
+        by_len: dict[int, list[tuple[int, int]]] = {}
+        for i, s in enumerate(symbols):
+            k = int.from_bytes(s, "big")
+            if len(s) == 1:
+                self.t1[k] = i
+            elif len(s) == 2:
+                self.t2[k] = i
+            else:
+                by_len.setdefault(len(s), []).append((k, i))
+        self.long: list[tuple[int, np.ndarray, np.ndarray]] = []
+        for L in sorted(by_len):  # ascending; match loop overwrites → longest wins
+            pairs = by_len[L]
+            keys = np.array([k for k, _ in pairs], np.uint64)
+            codes = np.array([c for _, c in pairs], np.uint8)
+            order = np.argsort(keys)
+            self.long.append((L, keys[order], codes[order]))
+
+
+def _match(data: np.ndarray, mt: _MatchTables) -> tuple[np.ndarray, np.ndarray]:
+    """Exact longest symbol match at every position (escape if none):
+    returns (code:uint8[n], match_len:int64[n])."""
+    n = len(data)
+    code = np.full(n, _ESCAPE, np.uint8)
+    mlen = np.ones(n, np.int64)
+    if n == 0 or mt.n_sym == 0:
+        return code, mlen
+    key8 = _window_keys(data)
+
+    c1 = mt.t1[data]
+    hit1 = c1 != _ESCAPE
+    code[hit1] = c1[hit1]
+
+    if n >= 2:
+        k2 = (key8 >> np.uint64(48)).astype(np.uint32)
+        c2 = mt.t2[k2]
+        hit2 = c2 != _ESCAPE
+        hit2[n - 1 :] = False
+        code[hit2] = c2[hit2]
+        mlen[hit2] = 2
+
+    for L, keys, codes in mt.long:  # ascending length: longest overwrites
+        kL = key8 >> np.uint64(8 * (_MAX_LEN - L))  # scalar shift — fast
+        idx = np.minimum(np.searchsorted(keys, kL), len(keys) - 1)
+        hit = keys[idx] == kL
+        if L > 1:
+            hit[max(n - L + 1, 0):] = False
+        code[hit] = codes[idx[hit]]
+        mlen[hit] = L
+    return code, mlen
+
+
+def _greedy_chain(mlen: np.ndarray) -> np.ndarray:
+    """Positions visited by the greedy left-to-right parse, ascending.
+
+    Pointer doubling: S_k = positions reachable from 0 in < 2**k steps,
+    f_k = 2**k-step jump; S_{k+1} = S_k ∪ f_k[S_k], f_{k+1} = f_k[f_k].
+    """
+    n = len(mlen)
+    if n == 0:
+        return np.zeros(0, np.int64)
+    f = np.minimum(np.arange(n, dtype=np.int64) + mlen, n)
+    f = np.append(f, n)  # sink: f[n] = n
+    visited = np.zeros(n + 1, bool)
+    visited[0] = True
+    S = np.array([0], dtype=np.int64)
+    parts = [S]
+    total = 1
+    while True:
+        cand = f[np.concatenate(parts) if len(parts) > 1 else parts[0]]
+        cand = np.unique(cand)
+        new = cand[~visited[cand]]
+        if len(new) == 0:
+            break
+        visited[new] = True
+        parts = [np.concatenate(parts), new] if len(parts) > 1 else parts + [new]
+        total += len(new)
+        if total > n:
+            break
+        f = f[f]
+    chain = np.concatenate(parts)
+    return np.sort(chain[chain < n])
+
+
+def _parse_units(data: np.ndarray, mt: _MatchTables):
+    """Greedy parse → (positions, codes, lens) of the emitted units."""
+    code, mlen = _match(data, mt)
+    P = _greedy_chain(mlen)
+    return P, code[P], mlen[P]
+
+
+def _emit(data: np.ndarray, P: np.ndarray, codes: np.ndarray) -> np.ndarray:
+    """Build the encoded byte stream from parse units."""
+    esc = codes == _ESCAPE
+    out_lens = np.where(esc, 2, 1).astype(np.int64)
+    offs = np.zeros(len(P) + 1, np.int64)
+    np.cumsum(out_lens, out=offs[1:])
+    out = np.empty(int(offs[-1]), np.uint8)
+    out[offs[:-1]] = codes
+    out[offs[:-1][esc] + 1] = data[P[esc]]
+    return out
+
+
+def fsst_train(data: np.ndarray) -> list[bytes]:
+    """Iteratively build the symbol table on a sample (the FSST
+    bottom-up generation loop: parse with current table, count unit and
+    adjacent-pair gains = count×length, keep the top 255)."""
+    n = len(data)
+    if n == 0:
+        return []
+    if n > _SAMPLE_TARGET:
+        # 128 slices of 512 B spread evenly across the buffer
+        step = n // 128
+        starts = np.arange(128, dtype=np.int64) * step
+        idx = (starts[:, None] + np.arange(512)).ravel()
+        sample = np.ascontiguousarray(data[idx[idx < n]])
+    else:
+        sample = data
+
+    symbols: list[bytes] = []
+    for _ in range(_GENERATIONS):
+        P, codes, lens = _parse_units(sample, _MatchTables(symbols))
+        if len(P) == 0:
+            break
+        key8 = _window_keys(sample)
+        ukey = key8[P] >> ((np.uint64(_MAX_LEN) - lens.astype(np.uint64)) * np.uint64(8))
+        # escape units are single literal bytes
+        ukey = np.where(codes == _ESCAPE, sample[P].astype(np.uint64), ukey)
+        ulen = np.where(codes == _ESCAPE, 1, lens).astype(np.int64)
+
+        cand_keys = [ukey]
+        cand_lens = [ulen]
+        if len(P) > 1:  # adjacent-pair merges with total length ≤ 8
+            plen = ulen[:-1] + ulen[1:]
+            ok = plen <= _MAX_LEN
+            merged = (ukey[:-1] << (ulen[1:].astype(np.uint64) * np.uint64(8))) | ukey[1:]
+            cand_keys.append(merged[ok])
+            cand_lens.append(plen[ok])
+        keys = np.concatenate(cand_keys)
+        klens = np.concatenate(cand_lens)
+        # composite id (len, key) → unique + counts; len ≤ 8 so pack into
+        # (len << 64 | key) via a structured sort on two u64 columns
+        comp = np.empty(len(keys), dtype=[("l", np.uint64), ("k", np.uint64)])
+        comp["l"] = klens.astype(np.uint64)
+        comp["k"] = keys
+        uniq, counts = np.unique(comp, return_counts=True)
+        gain = counts * uniq["l"]
+        top = np.argsort(gain, kind="stable")[::-1][:_MAX_SYMBOLS]
+        symbols = [
+            int(uniq["k"][i]).to_bytes(_MAX_LEN, "big")[_MAX_LEN - int(uniq["l"][i]):]
+            for i in top
+        ]
+    return symbols
+
+
+def fsst_encode(lengths: np.ndarray, data: np.ndarray) -> bytes:
+    """Encode a contiguous string column (lengths + concatenated bytes)."""
+    data = np.ascontiguousarray(data, dtype=np.uint8)
+    symbols = fsst_train(data)
+    mt = _MatchTables(symbols)
+    # Segmented encode bounds peak memory (the match/chain kernels
+    # allocate ~10× the segment size in temporaries). Safe to
+    # concatenate: codes 255 are always escapes (symbol codes ≤ 254), a
+    # block's trailing 255-run is whole escape+literal pairs (even
+    # length), so escape parity is preserved across the seam.
+    parts = []
+    for lo in range(0, len(data), _ENCODE_BLOCK):
+        seg = data[lo : lo + _ENCODE_BLOCK]
+        P, codes, _ = _parse_units(seg, mt)
+        parts.append(_emit(seg, P, codes))
+    enc = np.concatenate(parts) if parts else np.zeros(0, np.uint8)
+
+    len_blob = for_encode(np.ascontiguousarray(lengths, dtype=np.int64))
+    sym_lens = bytes(len(s) for s in symbols)
+    sym_bytes = b"".join(symbols)
+    return (
+        struct.pack("<BB", 1, len(symbols))
+        + sym_lens
+        + sym_bytes
+        + struct.pack("<QI", len(lengths), len(len_blob))
+        + len_blob
+        + struct.pack("<QQ", len(data), len(enc))
+        + enc.tobytes()
+    )
+
+
+def fsst_decode(buf: bytes | memoryview) -> tuple[np.ndarray, np.ndarray]:
+    """Returns (offsets:int64[n+1], data:uint8[...]) — str_decode convention."""
+    mv = memoryview(buf)
+    version, n_sym = struct.unpack_from("<BB", mv, 0)
+    if version != 1:
+        raise ValueError(f"bad fsst blob version {version}")
+    off = 2
+    sym_len = np.frombuffer(mv, np.uint8, count=n_sym, offset=off).astype(np.int64)
+    off += n_sym
+    total_sym = int(sym_len.sum())
+    sym_flat = np.frombuffer(mv, np.uint8, count=total_sym, offset=off)
+    off += total_sym
+    sym_off = np.zeros(n_sym + 1, np.int64)
+    np.cumsum(sym_len, out=sym_off[1:])
+
+    n_strings, len_blob_len = struct.unpack_from("<QI", mv, off)
+    off += 12
+    lengths = for_decode(mv[off : off + len_blob_len])
+    off += len_blob_len
+    raw_len, enc_len = struct.unpack_from("<QQ", mv, off)
+    off += 16
+    enc = np.frombuffer(mv, np.uint8, count=enc_len, offset=off)
+
+    offsets = np.zeros(n_strings + 1, np.int64)
+    np.cumsum(lengths, out=offsets[1:])
+    if offsets[-1] != raw_len:
+        raise ValueError("fsst length-sum / raw-size mismatch")
+    if raw_len == 0:
+        return offsets, np.zeros(0, np.uint8)
+
+    # --- escape resolution: in a maximal run of 255-bytes, even offsets
+    # are escapes, each consuming the following byte as a literal ---
+    is255 = enc == _ESCAPE
+    p255 = np.flatnonzero(is255)
+    if len(p255):
+        breaks = np.flatnonzero(np.diff(p255) > 1)
+        run_start_idx = np.concatenate([[0], breaks + 1])
+        run_sizes = np.diff(np.concatenate([run_start_idx, [len(p255)]]))
+        within = np.arange(len(p255)) - np.repeat(
+            np.arange(len(p255))[run_start_idx], run_sizes
+        )
+        esc_pos = p255[within % 2 == 0]
+        if len(esc_pos) and esc_pos[-1] + 1 >= len(enc):
+            raise ValueError("fsst stream ends mid-escape")
+        lit_pos = esc_pos + 1
+    else:
+        esc_pos = lit_pos = np.zeros(0, np.int64)
+
+    is_unit = np.ones(len(enc), bool)
+    is_unit[lit_pos] = False
+    upos = np.flatnonzero(is_unit)
+    ucodes = enc[upos]
+    uesc = ucodes == _ESCAPE  # every 255 at a unit position is an escape
+
+    if n_sym == 0:
+        if not uesc.all():
+            raise ValueError("fsst code byte with empty symbol table")
+        safe = np.zeros(len(upos), np.int64)
+    else:
+        if ((~uesc) & (ucodes >= n_sym)).any():
+            raise ValueError("fsst code byte out of table range")
+        safe = np.minimum(ucodes, n_sym - 1).astype(np.int64)
+    out_lens = np.where(uesc, 1, sym_len[safe] if n_sym else 1).astype(np.int64)
+    out_offs = np.zeros(len(upos) + 1, np.int64)
+    np.cumsum(out_lens, out=out_offs[1:])
+    if out_offs[-1] != raw_len:
+        raise ValueError("fsst decoded size mismatch")
+
+    # variable-length gather from a combined source (symbols ++ stream)
+    src = np.concatenate([sym_flat, enc])
+    starts = np.where(uesc, total_sym + upos + 1, sym_off[safe]).astype(np.int64)
+    intra = np.arange(int(out_offs[-1]), dtype=np.int64) - np.repeat(
+        out_offs[:-1], out_lens
+    )
+    out = src[np.repeat(starts, out_lens) + intra]
+    return offsets, out
