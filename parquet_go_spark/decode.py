@@ -20,22 +20,34 @@ __all__ = ["make_decode_fn", "prune_entries"]
 
 
 def prune_entries(entries: list[dict], column_predicates: dict | None):
-    """Chunk skipping on manifest stats: {col: (lo, hi)} string-compared
-    min/max overlap — the manifest plays Parquet's ColumnIndex role."""
+    """Chunk skipping on manifest stats: {col: (lo, hi)} typed min/max
+    overlap — the manifest plays Parquet's ColumnIndex role. Stats are
+    stored JSON-typed (manifest.stat_value): numbers compare
+    numerically, datetimes as ISO strings. Incomparable or missing
+    stats never skip a chunk (conservative)."""
     if not column_predicates:
         return entries
+    from .manifest import stat_value
+
+    preds = {
+        col: (stat_value(lo), stat_value(hi))
+        for col, (lo, hi) in column_predicates.items()
+    }
     kept = []
     for e in entries:
         skip = False
-        for col, (lo, hi) in column_predicates.items():
+        for col, (lo, hi) in preds.items():
             m = e["columns"].get(col)
-            if m is None or m["min"] is None:
+            if m is None or m.get("min") is None or m.get("max") is None:
                 continue
-            if (hi is not None and m["min"] > str(hi)) or (
-                lo is not None and m["max"] < str(lo)
-            ):
-                skip = True
-                break
+            try:
+                if (hi is not None and m["min"] > hi) or (
+                    lo is not None and m["max"] < lo
+                ):
+                    skip = True
+                    break
+            except TypeError:
+                continue
         if not skip:
             kept.append(e)
     return kept

@@ -70,8 +70,8 @@ def _encode_one_column(arr: pa.Array, name: str,
         "entropy": entropy,
         "n": st.n,
         "nulls": st.null_count,
-        "min": None if st.min_val is None else str(st.min_val),
-        "max": None if st.max_val is None else str(st.max_val),
+        "min": manifest.stat_value(st.min_val),
+        "max": manifest.stat_value(st.max_val),
         "raw_bytes": int(arr.nbytes),
         "enc_bytes": len(blob),
         "crc32": zlib.crc32(blob),
@@ -151,8 +151,10 @@ def make_encode_fn(table_dir: str, key_cols: tuple[str, ...],
                     {
                         "column": name, "codec": meta["codec"],
                         "entropy": meta["entropy"], "n_values": meta["n"],
-                        "null_count": meta["nulls"], "min": meta["min"] or "",
-                        "max": meta["max"] or "", "raw_bytes": meta["raw_bytes"],
+                        "null_count": meta["nulls"],
+                        "min": "" if meta["min"] is None else str(meta["min"]),
+                        "max": "" if meta["max"] is None else str(meta["max"]),
+                        "raw_bytes": meta["raw_bytes"],
                         "enc_bytes": meta["enc_bytes"], "crc32": meta["crc32"],
                         "blob": blob,
                     }

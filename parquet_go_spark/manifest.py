@@ -22,9 +22,27 @@ import os
 import tempfile
 from typing import Any
 
-__all__ = ["commit", "load", "list_chunk_files", "ENGINE_VERSION"]
+__all__ = ["commit", "load", "list_chunk_files", "stat_value", "ENGINE_VERSION"]
 
 ENGINE_VERSION = "parquet_go_spark-0.1.0"
+
+
+def stat_value(v: Any):
+    """Canonical JSON-typed form of a column min/max statistic.
+
+    Numbers stay numbers (numeric comparison in pruning), strings stay
+    strings, datetimes become ISO strings (fixed-width → lexicographic
+    order == chronological order). Unknown types map to None so pruning
+    stays conservative (a chunk without comparable stats is never
+    skipped) — the same ordering discipline Parquet pins per type via
+    ColumnOrder (parquet.thrift:1045-1111)."""
+    if v is None or isinstance(v, (bool, int, float, str)):
+        return v
+    import datetime
+
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat()
+    return None
 
 
 def _atomic_write_json(path: str, obj: Any) -> None:

@@ -1,0 +1,311 @@
+"""Training-data pipeline operators (dedup, similarity, text analysis).
+
+These go beyond the reference's codec surface: the operations a
+100 TB-scale training-data pipeline needs around the storage engine.
+All are Spark-first: built-in functions where possible (JVM-side,
+whole-stage codegen), vectorized pandas/Arrow kernels where the
+semantics need numpy (simhash bit-fold), never per-row Python.
+
+Scale notes per operator are in the docstrings — partitioning, join
+strategy, and what changes at 1000 executors.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+# ------------------------------------------------------------------ dedup
+
+def dedup_exact(spark, sf_dir):
+    """Exact dedup: hash-groupBy on content. At scale this is one
+    shuffle on the (hashed) text; pre-hash with xxhash64 to shuffle
+    8-byte keys instead of full documents."""
+    return (
+        _documents(spark, sf_dir)
+        .groupBy("text")
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("dup_count"))
+        .select("keep_id", "dup_count")
+    )
+
+
+def _word_shingles(df: DataFrame, k: int = 3) -> DataFrame:
+    """doc_id → exploded distinct word k-shingles (built-in array ops,
+    no Python). Empty/short docs yield no shingles."""
+    toks = F.split(F.col("text"), " ")
+    # guard: Spark sequence(1, 0) yields a DESCENDING [1, 0], not empty
+    idxs = F.when(
+        F.size(toks) >= k, F.sequence(F.lit(1), F.size(toks) - (k - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    sh = F.transform(idxs, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
+    return (
+        df.select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
+    )
+
+
+def dedup_ngram_jaccard(spark, sf_dir, threshold_num=3, threshold_den=10):
+    """Near-dup candidate pairs by exact word-3-gram Jaccard ≥ 3/10.
+
+    Shingle-inverted-index self-join; integer-only Jaccard test
+    (inter*den ≥ union*num) so the oracle matches bit-exactly. At
+    scale: drop super-common shingles first (stop-shingle filter) to
+    bound the join fan-out, and LSH-bucket (dedup_minhash_lsh) instead
+    of the full self-join."""
+    docs = _documents(spark, sf_dir)
+    sh = _word_shingles(docs).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    pairs = (
+        sh.alias("a")
+        .join(sh.alias("b"), "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        pairs.join(sizes.withColumnRenamed("doc_id", "doc_a")
+                   .withColumnRenamed("n_sh", "n_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b")
+              .withColumnRenamed("n_sh", "n_b"), "doc_b")
+        .withColumn("union_sz", F.col("n_a") + F.col("n_b") - F.col("inter"))
+        .filter(F.col("inter") * threshold_den >= F.col("union_sz") * threshold_num)
+        .select("doc_a", "doc_b", "inter", "union_sz")
+    )
+
+
+N_MINHASH = 32
+LSH_BANDS = 8  # 8 bands × 4 rows
+
+
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash + LSH banding near-dup candidates (no SQL oracle —
+    xxhash64 seeds are Spark-specific; driver records rows-only).
+
+    minhash_i(doc) = min over shingles of xxhash64(shingle, i); band
+    signature = hash of 4 consecutive minhashes; docs sharing any band
+    bucket are candidates. At scale: the only shuffles are the
+    per-doc minhash aggregation and the band-bucket self-join; bucket
+    sizes are bounded by construction (split giant buckets by salt)."""
+    docs = _documents(spark, sf_dir)
+    sh = _word_shingles(docs)
+    mh = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64("shingle", F.lit(i))).alias(f"mh{i}")
+            for i in range(N_MINHASH)
+        ]
+    )
+    rows_per_band = N_MINHASH // LSH_BANDS
+    bands = []
+    for b in range(LSH_BANDS):
+        cols = [f"mh{b * rows_per_band + r}" for r in range(rows_per_band)]
+        bands.append(
+            mh.select(
+                "doc_id",
+                F.lit(b).alias("band"),
+                F.xxhash64(*cols).alias("bucket"),
+            )
+        )
+    allb = bands[0]
+    for x in bands[1:]:
+        allb = allb.unionByName(x)
+    cand = (
+        allb.alias("a")
+        .join(allb.alias("b"), ["band", "bucket"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    return cand
+
+
+def simhash(spark, sf_dir):
+    """64-bit SimHash per document: token hashes bit-folded with a
+    vectorized numpy kernel (applyInPandas over pre-hashed tokens —
+    the hash itself stays JVM-side via xxhash64)."""
+    docs = _documents(spark, sf_dir)
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    ).withColumn("h", F.xxhash64("token"))
+
+    def fold(pdf):
+        import numpy as np
+        import pandas as pd
+
+        h = pdf["h"].to_numpy().astype(np.uint64)
+        bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1))
+        votes = (bits.astype(np.int64) * 2 - 1).sum(axis=0)
+        sig = np.uint64(0)
+        for b in np.flatnonzero(votes > 0):
+            sig |= np.uint64(1) << np.uint64(b)
+        signed = np.array([sig], dtype=np.uint64).view(np.int64)[0]
+        return pd.DataFrame(
+            {"doc_id": [pdf["doc_id"].iloc[0]], "simhash": [signed]}
+        )
+
+    return tok.groupBy("doc_id").applyInPandas(fold, "doc_id long, simhash long")
+
+
+# ------------------------------------------------------------- similarity
+
+def ann_cosine_topk(spark, sf_dir, n_queries: int = 5, k: int = 10):
+    """Brute-force cosine top-k (the exact baseline an IVF/LSH variant
+    is judged against). Query side is tiny → broadcast; the scan side
+    stays partitioned. Cosine via built-in array ops (zip_with +
+    aggregate — JVM-side, no Python). Rank on round(cos, 6) with
+    vec_id tiebreak so the oracle's float sum-order differences
+    can't flip the ordering."""
+    emb = _embeddings(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q")
+    )
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    joined = (
+        emb.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn(
+            "cos",
+            dot(F.col("q"), F.col("embedding"))
+            / (F.sqrt(dot(F.col("q"), F.col("q")))
+               * F.sqrt(dot(F.col("embedding"), F.col("embedding")))),
+        )
+        .withColumn("r_cos", F.round(F.col("cos"), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("r_cos").desc(), F.col("vec_id")
+    )
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("rank").cast("long").alias("rank"), "vec_id")
+    )
+
+
+# ---------------------------------------------------------- text analysis
+
+LANG_MARKERS = {
+    "query_lang": ["query", "join", "filter"],
+    "storage_lang": ["table", "row", "column"],
+    "stream_lang": ["stream", "window", "batch"],
+}
+
+
+def _count_occurrences(col, needle: str):
+    """Occurrences of ``needle`` via the replace trick — identical
+    integer semantics in Spark and ANSI SQL (no regex dialects)."""
+    return (
+        (F.length(col) - F.length(F.replace(col, F.lit(needle), F.lit(""))))
+        / len(needle)
+    ).cast("long")
+
+
+def lang_id(spark, sf_dir):
+    """Marker-word n-gram language scorer: score per language = summed
+    marker occurrences; argmax with deterministic tie-break on name."""
+    docs = _documents(spark, sf_dir)
+    scored = docs.select(
+        "doc_id",
+        *[
+            sum(
+                (_count_occurrences(F.col("text"), m) for m in markers),
+                F.lit(0).cast("long"),
+            ).alias(f"score_{lang}")
+            for lang, markers in LANG_MARKERS.items()
+        ],
+    )
+    best = F.greatest(*[F.col(f"score_{s}") for s in LANG_MARKERS])
+    guess = F.lit("und")
+    for lang in sorted(LANG_MARKERS, reverse=True):
+        guess = F.when(F.col(f"score_{lang}") == best, F.lit(lang)).otherwise(guess)
+    return scored.withColumn("lang_guess", guess).withColumn(
+        "best_score", best
+    ).select("doc_id", "lang_guess", "best_score")
+
+
+def quality_score(spark, sf_dir):
+    """Cheap quality heuristics: all integer/ratio formulas are
+    replace-trick exact so the oracle matches bit-identically."""
+    docs = _documents(spark, sf_dir)
+    t = F.col("text")
+    n_chars = F.length(t)
+    n_spaces = F.length(t) - F.length(F.replace(t, F.lit(" "), F.lit("")))
+    n_words = F.when(F.length(F.trim(t)) == 0, F.lit(0)).otherwise(n_spaces + 1)
+    stop_hits = _count_occurrences(t, " the ") + _count_occurrences(t, " a ")
+    return docs.select(
+        "doc_id",
+        n_chars.cast("long").alias("n_chars"),
+        n_words.cast("long").alias("n_words"),
+        stop_hits.alias("stop_hits"),
+        (n_chars.cast("double") / F.greatest(n_words, F.lit(1)).cast("double"))
+        .alias("chars_per_word"),
+    )
+
+
+def token_count(spark, sf_dir):
+    """Whitespace token count + BPE-ish estimate (chars/4, the common
+    planning approximation)."""
+    docs = _documents(spark, sf_dir)
+    t = F.col("text")
+    n_spaces = F.length(t) - F.length(F.replace(t, F.lit(" "), F.lit("")))
+    ws_tokens = F.when(F.length(F.trim(t)) == 0, F.lit(0)).otherwise(n_spaces + 1)
+    return docs.select(
+        "doc_id",
+        ws_tokens.cast("long").alias("ws_tokens"),
+        F.ceil(F.length(t) / F.lit(4.0)).cast("long").alias("approx_bpe_tokens"),
+    )
+
+
+def doc_fingerprint(spark, sf_dir):
+    """Content fingerprint: md5 (portable across engines) + length."""
+    docs = _documents(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        F.md5(F.col("text").cast("binary")).alias("fp"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+
+
+# ------------------------------------------------------------- multimodal
+
+def multimodal_meta(spark, sf_dir):
+    """Opaque-binary-column plumbing: documents.text re-encoded as a
+    binary payload column, metadata extracted by a vectorized
+    mapInPandas kernel (the schema/batch shape a real image/audio
+    decoder plugs into — see multimodal.py for the stubbed decoders)."""
+    docs = _documents(spark, sf_dir).select(
+        "doc_id", F.col("text").cast("binary").alias("payload")
+    )
+
+    def meta(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payload = pdf["payload"]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": payload.map(len).astype("int64"),
+                    "header_byte": payload.map(
+                        lambda b: int(b[0]) if len(b) else -1
+                    ).astype("int64"),
+                }
+            )
+
+    return docs.mapInPandas(meta, "doc_id long, n_bytes long, header_byte long")

@@ -36,23 +36,31 @@ def write_table(
     salt_block: int = DEFAULT_SALT_BLOCK,
     overrides: dict[str, tuple[str, str]] | None = None,
     resume: bool = True,
+    chunk_expr=None,
 ) -> dict:
     """Encode ``df`` into an Iceberg-style encoded-chunk table.
 
-    Chunk assignment = pmod(xxhash64(key_cols[0], key_cols[1] // salt_block),
-    num_chunks): deterministic across reruns (resume) and skew-bounded
-    (long conversations split at turn-block boundaries).
+    Default chunk assignment = pmod(xxhash64(key_cols[0],
+    key_cols[1] // salt_block), num_chunks): deterministic across reruns
+    (resume) and skew-bounded (long conversations split at turn-block
+    boundaries). Pass ``chunk_expr`` (a Column producing an integer) for
+    value-range chunking instead — range chunks give tight per-chunk
+    min/max stats, which is what makes manifest chunk-skipping
+    selective (Parquet row-group pruning parity).
     """
     if num_chunks is None:
         n = df.count()
         num_chunks = max(1, math.ceil(n / rows_per_chunk))
 
-    salt = (
-        F.floor(F.col(key_cols[1]) / F.lit(salt_block))
-        if len(key_cols) > 1
-        else F.lit(0)
-    )
-    ck = F.pmod(F.xxhash64(F.col(key_cols[0]), salt), F.lit(num_chunks))
+    if chunk_expr is not None:
+        ck = F.pmod(chunk_expr.cast("long"), F.lit(num_chunks))
+    else:
+        salt = (
+            F.floor(F.col(key_cols[1]) / F.lit(salt_block))
+            if len(key_cols) > 1
+            else F.lit(0)
+        )
+        ck = F.pmod(F.xxhash64(F.col(key_cols[0]), salt), F.lit(num_chunks))
     staged = (
         df.withColumn("_ck", ck)
         .repartition(num_chunks, "_ck")

@@ -124,3 +124,30 @@ def test_selector_double_picks_bss():
 def test_selector_hicard_text():
     st = profile_array(TEXT, "text")
     assert choose_codec(st)[0] in ("fsst", "plain")  # fsst once kernel lands
+
+
+def test_prune_entries_numeric_not_string_compare():
+    """Regression: int stats must compare numerically — lexicographic
+    would skip a chunk with min=9,max=100 for predicate (20, 30)."""
+    from parquet_go_spark.decode import prune_entries
+
+    entries = [
+        {"chunk_id": "a", "columns": {"x": {"min": 9, "max": 100}}},
+        {"chunk_id": "b", "columns": {"x": {"min": 200, "max": 300}}},
+    ]
+    kept = prune_entries(entries, {"x": (20, 30)})
+    assert [e["chunk_id"] for e in kept] == ["a"]
+
+
+def test_prune_entries_timestamp_iso():
+    import datetime
+
+    from parquet_go_spark.decode import prune_entries
+
+    e1 = {"chunk_id": "a", "columns": {"ts": {"min": "2025-01-01T00:00:00",
+                                              "max": "2025-01-10T00:00:00"}}}
+    e2 = {"chunk_id": "b", "columns": {"ts": {"min": "2025-02-01T00:00:00",
+                                              "max": "2025-02-10T00:00:00"}}}
+    lo = datetime.datetime(2025, 1, 5)
+    kept = prune_entries([e1, e2], {"ts": (lo, datetime.datetime(2025, 1, 6))})
+    assert [e["chunk_id"] for e in kept] == ["a"]
