@@ -1,0 +1,211 @@
+"""Benchmark harness: one JSON line on stdout.
+
+Measures the north_rule workload — encode + decode of the
+BASELINE.json-shaped transcript table (synthesized deterministically,
+seed 42, sized by SF) through the full engine path
+(repartition → mapInArrow numpy kernels → chunk files + manifests) —
+plus the N→4N-cores scaling evidence the driver asked for (a real
+N→4N executor pair is unavailable in-sandbox). The primary pair is
+local[1]→local[4], below this host's ~8-stream memory-bandwidth
+saturation point; the full curve incl. local[32] is also reported —
+analysis and control experiments in BENCH/BASELINE.md.
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) — also sets the
+testdata-table side queries; SPARK_GRAFT_CPUS (default 32);
+SPARK_GRAFT_SCALE_LEVELS (default "1,4,<cpus>");
+SPARK_GRAFT_BENCH_REPEATS (default 2, best-of).
+
+Output: {"metric": ..., "value": seconds, "unit": "sec",
+         "queries": {name: sec}, "sf": ...,
+         "extra": {throughput, sizes, ratio vs parquet reference,
+                   scaling efficiency}}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+
+def _quiet_spark(master: str):
+    from pyspark.sql import SparkSession
+
+    # single-host tunings: shuffle on tmpfs (no disk round-trip),
+    # uncompressed shuffle (CPU for bandwidth), large Arrow batches.
+    # On a real multi-node cluster keep shuffle compression ON (network
+    # dominates) — these knobs only reshape the local[N] harness.
+    if os.path.isdir("/dev/shm"):
+        os.makedirs("/dev/shm/spark-tmp", exist_ok=True)
+        os.environ.setdefault("SPARK_LOCAL_DIRS", "/dev/shm/spark-tmp")
+    spark = (
+        SparkSession.builder.master(master)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", "64")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.shuffle.compress", "false")
+        .config("spark.shuffle.spill.compress", "false")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
+def _transcript_fixture(sf_label: str, workdir: str) -> tuple[str, int, int, int]:
+    """Deterministic transcript parquet sized by SF; returns
+    (path, n_rows, raw_bytes, reference_parquet_bytes)."""
+    import pyarrow.parquet as pq
+
+    from parquet_go_spark.fixtures import make_transcripts
+
+    n_conv = {"0.001": 400, "0.01": 4000, "0.1": 40000}.get(sf_label, 40000)
+    tbl = make_transcripts(n_conv, seed=42)
+    # engine input: split into 32 files with small row groups so the
+    # scan stage parallelizes (a single-file single-row-group input
+    # serializes the read+shuffle stage and caps scaling)
+    path = os.path.join(workdir, "transcripts")
+    os.makedirs(path, exist_ok=True)
+    n = tbl.num_rows
+    step = max(1, (n + 31) // 32)
+    for i in range(0, n, step):
+        pq.write_table(
+            tbl.slice(i, step),
+            os.path.join(path, f"part-{i // step:05d}.parquet"),
+            row_group_size=1 << 15,
+        )
+    # the reference size to beat: pyarrow's own Parquet writer
+    # (snappy + dictionary defaults — BASELINE.md row 1)
+    ref_path = os.path.join(workdir, "reference_snappy_dict.parquet")
+    pq.write_table(tbl, ref_path)
+    return path, tbl.num_rows, tbl.nbytes, os.path.getsize(ref_path)
+
+
+def _encode_decode(master: str, src: str, out: str) -> dict:
+    from parquet_go_spark import table
+
+    spark = _quiet_spark(master)
+    try:
+        df = spark.read.parquet(src)
+        t0 = time.time()
+        info = table.write_table(
+            df, out, key_cols=("conv_id", "turn_idx"), num_chunks=64
+        )
+        t_enc = time.time() - t0
+        t0 = time.time()
+        n_dec = table.read_table(spark, out).count()
+        t_dec = time.time() - t0
+        assert n_dec == info["n_rows"], (n_dec, info["n_rows"])
+        return {"enc_s": t_enc, "dec_s": t_dec, **info}
+    finally:
+        spark.stop()
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf_label = os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1"
+
+    workdir = tempfile.mkdtemp(prefix="pgs_bench_")
+    queries: dict[str, float] = {}
+    try:
+        src, n_rows, raw_bytes, ref_bytes = _transcript_fixture(sf_label, workdir)
+
+        # scaling pair = first two levels (N and 4N cores, kept below
+        # this single-host's ~8-stream memory-bandwidth saturation; the
+        # higher levels show the saturation curve — BENCH/BASELINE.md)
+        levels = sorted(
+            int(x)
+            for x in os.environ.get(
+                "SPARK_GRAFT_SCALE_LEVELS", f"1,4,{cpus}"
+            ).split(",")
+        )
+        repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
+        runs = {}
+        for lvl in levels:
+            best = None
+            for rep in range(repeats):
+                r = _encode_decode(
+                    f"local[{lvl}]", src,
+                    os.path.join(workdir, f"enc_{lvl}_{rep}"),
+                )
+                if best is None:
+                    best = r
+                else:  # best-of per phase (the sandbox has multi-second
+                    best["enc_s"] = min(best["enc_s"], r["enc_s"])
+                    best["dec_s"] = min(best["dec_s"], r["dec_s"])
+            runs[lvl] = best
+            queries[f"transcript_encode_local{lvl}"] = round(
+                best["enc_s"], 3
+            )
+        lo_lvl, mid_lvl, hi_lvl = levels[0], levels[1], levels[-1]
+        r_low, r_high = runs[mid_lvl], runs[hi_lvl]
+        queries[f"transcript_decode_local{hi_lvl}"] = round(r_high["dec_s"], 3)
+
+        # testdata-side queries at the same parallelism
+        spark = _quiet_spark(f"local[{cpus}]")
+        try:
+            from parquet_go_spark import queries as Q
+
+            t0 = time.time()
+            Q.codec_roundtrip(
+                spark, os.path.join(sf_dir, "lineitem.parquet"),
+                ["l_orderkey", "l_partkey", "l_returnflag", "l_shipdate"],
+            ).count()
+            queries["lineitem_codec_roundtrip"] = round(time.time() - t0, 3)
+            t0 = time.time()
+            Q.codec_roundtrip(
+                spark, os.path.join(sf_dir, "documents.parquet"),
+                ["doc_id", "text"], {"text": ("fsst", "zstd")},
+            ).count()
+            queries["documents_fsst_roundtrip"] = round(time.time() - t0, 3)
+        finally:
+            spark.stop()
+
+        # primary N→4N evidence pair
+        speedup_b = runs[lo_lvl]["enc_s"] / runs[mid_lvl]["enc_s"]
+        eff_b = speedup_b / (mid_lvl / lo_lvl)
+        # saturation pair (mid → full machine)
+        speedup = r_low["enc_s"] / r_high["enc_s"]
+        eff = speedup / (hi_lvl / mid_lvl) if hi_lvl > mid_lvl else 1.0
+        mb = raw_bytes / 1e6
+        out = {
+            "metric": (
+                "transcript encode+decode wall sec @ local[%d] "
+                "(raw %.0f MB, %d rows)" % (cpus, mb, n_rows)
+            ),
+            "value": round(r_high["enc_s"] + r_high["dec_s"], 3),
+            "unit": "sec",
+            "queries": queries,
+            "sf": float(sf_label),
+            "extra": {
+                "n_rows": n_rows,
+                "raw_bytes": raw_bytes,
+                "encoded_bytes": r_high["enc_bytes"],
+                "reference_parquet_bytes": ref_bytes,
+                "compression_ratio": round(raw_bytes / r_high["enc_bytes"], 3),
+                "size_vs_reference": round(r_high["enc_bytes"] / ref_bytes, 3),
+                **{
+                    "encode_mb_s_local%d" % lvl: round(mb / runs[lvl]["enc_s"], 2)
+                    for lvl in levels
+                },
+                "scaling_pair": "local[%d] -> local[%d]" % (lo_lvl, mid_lvl),
+                "scaling_speedup_%d_to_%d" % (lo_lvl, mid_lvl): round(speedup_b, 3),
+                "scaling_efficiency": round(eff_b, 3),
+                "saturation_speedup_%d_to_%d" % (mid_lvl, hi_lvl): round(speedup, 3),
+                "saturation_efficiency_%d_to_%d" % (mid_lvl, hi_lvl): round(eff, 3),
+            },
+        }
+        print(json.dumps(out))
+        return 0
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

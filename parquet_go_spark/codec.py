@@ -25,6 +25,7 @@ import zlib
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from .kernels.bitpack import bit_width
 from .kernels.delta import delta_decode, delta_encode, for_decode, for_encode
@@ -313,7 +314,7 @@ def decode_array(blob: bytes | memoryview) -> pa.Array:
     idx = np.zeros(n, dtype=np.int64)
     idx[valid] = np.arange(n_valid)
     taken = vals.take(pa.array(idx, type=pa.int64()))
-    return pa.compute.if_else(pa.array(valid), taken, pa.nulls(n, vals.type))
+    return pc.if_else(pa.array(valid), taken, pa.nulls(n, vals.type))
 
 
 def blob_info(blob: bytes | memoryview) -> dict:

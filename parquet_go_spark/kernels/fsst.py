@@ -45,7 +45,6 @@ _MAX_LEN = 8
 _ESCAPE = 255
 _GENERATIONS = 5
 _SAMPLE_TARGET = 1 << 16  # train on ≤64 KiB sampled across the buffer
-_ENCODE_BLOCK = 1 << 22   # encode in 4 MiB segments (bounds temp memory)
 
 
 def _window_keys(data: np.ndarray) -> np.ndarray:
@@ -155,10 +154,75 @@ def _greedy_chain(mlen: np.ndarray) -> np.ndarray:
 
 
 def _parse_units(data: np.ndarray, mt: _MatchTables):
-    """Greedy parse → (positions, codes, lens) of the emitted units."""
+    """Greedy parse → (positions, codes, lens) of the emitted units.
+    Match-everywhere + pointer-doubling; used on the small training
+    sample only (the bulk path is _parse_strings)."""
     code, mlen = _match(data, mt)
     P = _greedy_chain(mlen)
     return P, code[P], mlen[P]
+
+
+def _match_at(pad: np.ndarray, p: np.ndarray, rem: np.ndarray,
+              mt: _MatchTables) -> tuple[np.ndarray, np.ndarray]:
+    """Longest match at the given positions only (frontier lookup)."""
+    m = len(p)
+    code = np.full(m, _ESCAPE, np.uint8)
+    mlen = np.ones(m, np.int64)
+    if mt.n_sym == 0 or m == 0:
+        return code, mlen
+    k = np.zeros(m, np.uint64)
+    for j in range(_MAX_LEN):
+        k = (k << np.uint64(8)) | pad[p + j]
+    c1 = mt.t1[pad[p]]
+    h = c1 != _ESCAPE
+    code[h] = c1[h]
+    k2 = (k >> np.uint64(48)).astype(np.uint32)
+    c2 = mt.t2[k2]
+    h = (c2 != _ESCAPE) & (rem >= 2)
+    code[h] = c2[h]
+    mlen[h] = 2
+    for L, keys, codes in mt.long:  # ascending length: longest overwrites
+        kL = k >> np.uint64(8 * (_MAX_LEN - L))
+        idx = np.minimum(np.searchsorted(keys, kL), len(keys) - 1)
+        h = (keys[idx] == kL) & (rem >= L)
+        code[h] = codes[idx[h]]
+        mlen[h] = L
+    return code, mlen
+
+
+def _parse_strings(data: np.ndarray, offsets: np.ndarray,
+                   mt: _MatchTables) -> tuple[np.ndarray, np.ndarray]:
+    """Greedy parse of every string in lockstep (SIMD-across-strings).
+
+    One frontier position per still-unfinished string; each round does
+    the longest-match lookup for the whole frontier at once and
+    advances. Total lookups = number of emitted units (~n/6), and the
+    working set is the frontier (cache-resident), not O(n) key/jump
+    arrays — this is what keeps 32 concurrent workers off the memory
+    bus. Matches never cross string boundaries (rem-capped)."""
+    pos = np.ascontiguousarray(offsets[:-1], dtype=np.int64).copy()
+    end = np.ascontiguousarray(offsets[1:], dtype=np.int64)
+    n = len(data)
+    pad = np.zeros(n + _MAX_LEN, np.uint8)
+    pad[:n] = data
+    act = np.flatnonzero(pos < end)
+    pparts: list[np.ndarray] = []
+    cparts: list[np.ndarray] = []
+    while len(act):
+        p = pos[act]
+        rem = end[act] - p
+        code, mlen = _match_at(pad, p, rem, mt)
+        pparts.append(p)
+        cparts.append(code)
+        nxt = p + mlen
+        pos[act] = nxt
+        act = act[nxt < end[act]]
+    if not pparts:
+        return np.zeros(0, np.int64), np.zeros(0, np.uint8)
+    P = np.concatenate(pparts)
+    C = np.concatenate(cparts)
+    o = np.argsort(P, kind="stable")
+    return P[o], C[o]
 
 
 def _emit(data: np.ndarray, P: np.ndarray, codes: np.ndarray) -> np.ndarray:
@@ -210,16 +274,20 @@ def fsst_train(data: np.ndarray) -> list[bytes]:
             cand_lens.append(plen[ok])
         keys = np.concatenate(cand_keys)
         klens = np.concatenate(cand_lens)
-        # composite id (len, key) → unique + counts; len ≤ 8 so pack into
-        # (len << 64 | key) via a structured sort on two u64 columns
-        comp = np.empty(len(keys), dtype=[("l", np.uint64), ("k", np.uint64)])
-        comp["l"] = klens.astype(np.uint64)
-        comp["k"] = keys
-        uniq, counts = np.unique(comp, return_counts=True)
-        gain = counts * uniq["l"]
+        # group identical (len, key) pairs: lexsort on two u64 columns is
+        # ~5× faster than np.unique on a structured dtype (generic cmp)
+        order = np.lexsort((keys, klens))
+        sk, sl = keys[order], klens[order]
+        first = np.empty(len(sk), bool)
+        first[0] = True
+        first[1:] = (sk[1:] != sk[:-1]) | (sl[1:] != sl[:-1])
+        grp = np.flatnonzero(first)
+        counts = np.diff(np.append(grp, len(sk)))
+        uk, ul = sk[grp], sl[grp]
+        gain = counts * ul
         top = np.argsort(gain, kind="stable")[::-1][:_MAX_SYMBOLS]
         symbols = [
-            int(uniq["k"][i]).to_bytes(_MAX_LEN, "big")[_MAX_LEN - int(uniq["l"][i]):]
+            int(uk[i]).to_bytes(_MAX_LEN, "big")[_MAX_LEN - int(ul[i]):]
             for i in top
         ]
     return symbols
@@ -228,19 +296,13 @@ def fsst_train(data: np.ndarray) -> list[bytes]:
 def fsst_encode(lengths: np.ndarray, data: np.ndarray) -> bytes:
     """Encode a contiguous string column (lengths + concatenated bytes)."""
     data = np.ascontiguousarray(data, dtype=np.uint8)
+    lengths = np.ascontiguousarray(lengths, dtype=np.int64)
     symbols = fsst_train(data)
     mt = _MatchTables(symbols)
-    # Segmented encode bounds peak memory (the match/chain kernels
-    # allocate ~10× the segment size in temporaries). Safe to
-    # concatenate: codes 255 are always escapes (symbol codes ≤ 254), a
-    # block's trailing 255-run is whole escape+literal pairs (even
-    # length), so escape parity is preserved across the seam.
-    parts = []
-    for lo in range(0, len(data), _ENCODE_BLOCK):
-        seg = data[lo : lo + _ENCODE_BLOCK]
-        P, codes, _ = _parse_units(seg, mt)
-        parts.append(_emit(seg, P, codes))
-    enc = np.concatenate(parts) if parts else np.zeros(0, np.uint8)
+    offsets = np.zeros(len(lengths) + 1, np.int64)
+    np.cumsum(lengths, out=offsets[1:])
+    P, codes = _parse_strings(data, offsets, mt)
+    enc = _emit(data, P, codes)
 
     len_blob = for_encode(np.ascontiguousarray(lengths, dtype=np.int64))
     sym_lens = bytes(len(s) for s in symbols)

@@ -19,6 +19,7 @@ from dataclasses import dataclass, field
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 __all__ = ["ColumnStats", "profile_array", "choose_codec"]
 
@@ -59,15 +60,15 @@ def profile_array(arr: pa.Array, name: str = "", sample: int = 65536) -> ColumnS
     a = arr.drop_null() if nulls else arr
     # sample for the expensive stats on very large chunks
     s = a.slice(0, sample) if len(a) > sample else a
-    st.n_distinct = len(pa.compute.unique(s))
+    st.n_distinct = len(pc.unique(s))
     if len(a) > sample and st.n_distinct == len(s):
         # saturated sample → treat as all-distinct
         st.n_distinct = len(a)
 
     if pa.types.is_string(t) or pa.types.is_large_string(t):
-        lens = pa.compute.utf8_length(s).to_numpy(zero_copy_only=False)
+        lens = pc.utf8_length(s).to_numpy(zero_copy_only=False)
         st.avg_len = float(lens.mean()) if len(lens) else 0.0
-        mm = pa.compute.min_max(a)
+        mm = pc.min_max(a)
         st.min_val, st.max_val = mm["min"].as_py(), mm["max"].as_py()
         sv = s.to_numpy(zero_copy_only=False)
         if len(sv) > 1:
@@ -80,7 +81,7 @@ def profile_array(arr: pa.Array, name: str = "", sample: int = 65536) -> ColumnS
 
     if pa.types.is_floating(t):
         v = s.to_numpy(zero_copy_only=False)
-        mm = pa.compute.min_max(a)
+        mm = pc.min_max(a)
         st.min_val, st.max_val = mm["min"].as_py(), mm["max"].as_py()
         if len(v) > 1:
             st.run_frac = 1.0 - float((np.diff(v) != 0).sum() + 1) / len(v)
@@ -95,7 +96,7 @@ def profile_array(arr: pa.Array, name: str = "", sample: int = 65536) -> ColumnS
         av = a.cast(pa.int32())
         s = s.cast(pa.int32())
     v = s.to_numpy(zero_copy_only=False).astype(np.int64)
-    mm = pa.compute.min_max(av)
+    mm = pc.min_max(av)
     st.min_val, st.max_val = mm["min"].as_py(), mm["max"].as_py()
     if len(v) > 1:
         d = np.diff(v)
