@@ -29,6 +29,18 @@ _LINEITEM_ALL = ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
                  "l_returnflag", "l_linestatus", "l_shipdate"]
 
 
+def _q_multimodal_frames(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from parquet_go_spark import multimodal as M
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    frames = M.frame_sample(
+        M.attach_fake_payloads(docs), id_col="doc_id"
+    )
+    return frames.groupBy("doc_id").agg(F.count("*").alias("n_frames"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full encode→manifest→decode round-trip of lineitem."""
     return Q.q_roundtrip_identity(spark, "/root/testdata/sf0.001")
@@ -58,8 +70,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": P.dedup_exact,
         "dedup_ngram_jaccard": P.dedup_ngram_jaccard,
         "dedup_minhash_lsh": P.dedup_minhash_lsh,   # rows-only
+        "dedup_embedding": P.dedup_embedding,
         "simhash": P.simhash,                        # rows-only
         "ann_cosine_topk": P.ann_cosine_topk,
+        "ann_lsh_topk": P.ann_lsh_topk,              # rows-only
+        "multimodal_frames": _q_multimodal_frames,
         "lang_id": P.lang_id,
         "quality_score": P.quality_score,
         "token_count": P.token_count,
@@ -216,11 +231,23 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes na ON na.doc_id = doc_a
             JOIN sizes nb ON nb.doc_id = doc_b
             WHERE inter*10 >= (na.n_sh + nb.n_sh - inter)*3""",
+        "dedup_embedding": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(a.embedding::DOUBLE[],
+                         b.embedding::DOUBLE[]), 6) AS r_cos
+            FROM embeddings a, embeddings b
+            WHERE a.vec_id < b.vec_id
+              AND round(list_cosine_similarity(a.embedding::DOUBLE[],
+                    b.embedding::DOUBLE[]), 6) >= 0.42""",
+        "multimodal_frames": """
+            SELECT doc_id,
+                   CAST(ceil(strlen(text)/64.0) AS BIGINT) AS n_frames
+            FROM documents WHERE strlen(text) > 0""",
         "ann_cosine_topk": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS qe
                        FROM embeddings WHERE vec_id < 5),
             s AS (SELECT q.query_id, e.vec_id,
-                         round(list_cosine_similarity(e.embedding, q.qe), 6)
+                         round(list_cosine_similarity(e.embedding::DOUBLE[], q.qe::DOUBLE[]), 6)
                              AS r_cos
                   FROM embeddings e, q WHERE e.vec_id <> q.query_id)
             SELECT query_id, CAST(rnk AS BIGINT) AS rank, vec_id FROM (

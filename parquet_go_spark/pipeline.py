@@ -198,6 +198,116 @@ def ann_cosine_topk(spark, sf_dir, n_queries: int = 5, k: int = 10):
     )
 
 
+def dedup_embedding(spark, sf_dir, threshold: float = 0.42):
+    """Embedding-cosine near-dup pairs (exact). Rank-stable via
+    round(cos, 6); the pair join is the brute-force baseline —
+    ann_lsh_topk is the bucketed scale path. At 100 TB scale: block by
+    LSH bucket first, then run this exact kernel within buckets."""
+    emb = _embeddings(spark, sf_dir)
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+
+    def dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda u, v: u.cast("double") * v.cast("double")),
+            F.lit(0.0),
+            lambda acc, u: acc + u,
+        )
+
+    cos = dot(F.col("ea"), F.col("eb")) / (
+        F.sqrt(dot(F.col("ea"), F.col("ea")))
+        * F.sqrt(dot(F.col("eb"), F.col("eb")))
+    )
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("r_cos", F.round(cos, 6))
+        .filter(F.col("r_cos") >= threshold)
+        .select("id_a", "id_b", "r_cos")
+    )
+
+
+N_HYPERPLANES = 4
+N_LSH_TABLES = 4
+
+
+def ann_lsh_topk(spark, sf_dir, n_queries: int = 5, k: int = 10):
+    """LSH-bucketed approximate top-k (the scale path for
+    ann_cosine_topk): multi-table random-hyperplane signatures (seeded,
+    vectorized numpy) bucket the vectors; exact cosine rerank happens
+    only within matching buckets. No SQL oracle (signature seeds are
+    engine-specific) — driver records rows-only; recall vs the exact
+    baseline is asserted in tests. At scale the bucket join replaces
+    the crossJoin: shuffle cost drops from O(n·q) to
+    O(n·tables + q·bucket)."""
+    emb = _embeddings(spark, sf_dir)
+
+    def signature(batches):
+        import numpy as np
+        import pandas as pd
+
+        rng = np.random.default_rng(42)
+        planes = rng.standard_normal((N_LSH_TABLES, 64, N_HYPERPLANES))
+        for pdf in batches:
+            m = np.stack(pdf["embedding"].to_numpy())
+            frames = []
+            for t in range(N_LSH_TABLES):
+                bits = (m @ planes[t]) > 0
+                bucket = (bits * (1 << np.arange(N_HYPERPLANES))).sum(axis=1)
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "vec_id": pdf["vec_id"],
+                            "tbl": t,
+                            "bucket": bucket.astype("int64"),
+                            "embedding": pdf["embedding"],
+                        }
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True)
+
+    sig = emb.mapInPandas(
+        signature, "vec_id long, tbl int, bucket long, embedding array<float>"
+    )
+    queries = sig.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("tbl"),
+        F.col("bucket"),
+        F.col("embedding").alias("q"),
+    )
+
+    def dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda u, v: u.cast("double") * v.cast("double")),
+            F.lit(0.0),
+            lambda acc, u: acc + u,
+        )
+
+    joined = (
+        sig.join(F.broadcast(queries), ["tbl", "bucket"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", "q", "embedding")
+        .distinct()  # a pair can collide in several tables
+        .withColumn(
+            "r_cos",
+            F.round(
+                dot(F.col("q"), F.col("embedding"))
+                / (F.sqrt(dot(F.col("q"), F.col("q")))
+                   * F.sqrt(dot(F.col("embedding"), F.col("embedding")))),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("r_cos").desc(), F.col("vec_id")
+    )
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("rank").cast("long").alias("rank"), "vec_id")
+    )
+
+
 # ---------------------------------------------------------- text analysis
 
 LANG_MARKERS = {
