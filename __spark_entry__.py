@@ -66,6 +66,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decode_chunks": Q.q_decode_chunks,
         "chunk_skip_filter": Q.q_chunk_skip_filter,
         "resume_from_manifest": Q.q_resume_from_manifest,
+        "stream_ingest": Q.q_stream_ingest,
         # training-data pipeline operators
         "dedup_exact": P.dedup_exact,
         "dedup_ngram_jaccard": P.dedup_ngram_jaccard,
@@ -207,6 +208,7 @@ def oracle_sql() -> dict[str, str]:
         "resume_from_manifest":
             "SELECT CAST(8 AS BIGINT) AS n_chunks, "
             "CAST(8 AS BIGINT) AS reused_chunks",
+        "stream_ingest": "SELECT * FROM lineitem",
         "dedup_exact":
             "SELECT min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) "
             "AS dup_count FROM documents GROUP BY text",

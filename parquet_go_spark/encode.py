@@ -106,8 +106,11 @@ def read_chunk_entry(path: str) -> dict | None:
 
 def make_encode_fn(table_dir: str, key_cols: tuple[str, ...],
                    overrides: dict[str, tuple[str, str]] | None = None,
-                   resume: bool = True):
-    """Build the mapInArrow UDF: iterator[RecordBatch] → entry_json rows."""
+                   resume: bool = True, chunk_prefix: str = ""):
+    """Build the mapInArrow UDF: iterator[RecordBatch] → entry_json rows.
+
+    ``chunk_prefix`` namespaces chunk ids (streaming micro-batches use
+    one prefix per batch so appends never collide)."""
     overrides = overrides or {}
 
     def encode_partition(batches):
@@ -129,7 +132,7 @@ def make_encode_fn(table_dir: str, key_cols: tuple[str, ...],
         starts = np.concatenate([[0], bounds, [len(ck)]])
         for i in range(len(starts) - 1):
             lo, hi = int(starts[i]), int(starts[i + 1])
-            chunk_id = f"{int(ck[lo]):06d}"
+            chunk_id = f"{chunk_prefix}{int(ck[lo]):06d}"
             fpath = os.path.join(table_dir, "chunks", f"chunk-{chunk_id}.parquet")
             if resume and os.path.exists(fpath):
                 prev = read_chunk_entry(fpath)

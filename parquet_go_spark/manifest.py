@@ -59,10 +59,18 @@ def _atomic_write_json(path: str, obj: Any) -> None:
 
 
 def commit(table_dir: str, entries: list[dict], schema_ddl: str,
-           extra: dict | None = None) -> int:
-    """Write manifest-<snap>.json then atomically swing _manifest_list.json."""
+           extra: dict | None = None, append: bool = False) -> int:
+    """Write manifest-<snap>.json then atomically swing _manifest_list.json.
+
+    ``append=True`` merges into the parent snapshot's entries keyed by
+    chunk_id (same id overrides — idempotent batch replay)."""
     prev = load(table_dir)
     snapshot_id = (prev["snapshot_id"] + 1) if prev else 0
+    if append and prev:
+        merged = {e["chunk_id"]: e for e in prev["entries"]}
+        for e in entries:
+            merged[e["chunk_id"]] = e
+        entries = list(merged.values())
     mpath = os.path.join(table_dir, "_manifests", f"manifest-{snapshot_id}.json")
     entries = sorted(entries, key=lambda e: e["chunk_id"])
     _atomic_write_json(mpath, {"entries": entries})

@@ -258,6 +258,36 @@ def q_chunk_skip_filter(spark, sf_dir):
     return dec.filter(F.col("l_orderkey").between(lo, hi))
 
 
+def q_stream_ingest(spark, sf_dir):
+    """Structured-Streaming ingestion: lineitem split into 3 files →
+    file-source micro-batches → foreachBatch encode-append → decode.
+    The decoded table must equal the batch source exactly."""
+    import pyarrow.parquet as pq
+
+    from . import streaming
+
+    wd = tempfile.mkdtemp(prefix="pgs_stream_")
+    src = os.path.join(wd, "src")
+    os.makedirs(src)
+    t = pq.read_table(os.path.join(sf_dir, "lineitem.parquet"))
+    step = (t.num_rows + 2) // 3
+    for i in range(0, t.num_rows, step):
+        pq.write_table(t.slice(i, step), os.path.join(src, f"f{i // step}.parquet"))
+    schema = _lineitem(spark, sf_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    tbl_dir = os.path.join(wd, "tbl")
+    q = streaming.encode_stream(
+        stream, tbl_dir, os.path.join(wd, "ckpt"),
+        key_cols=LINEITEM_KEY, chunks_per_batch=4,
+    )
+    q.awaitTermination(300)
+    return table.read_table(spark, tbl_dir)
+
+
 def q_resume_from_manifest(spark, sf_dir):
     """Second write into the same dir must reuse every committed chunk."""
     df = _lineitem(spark, sf_dir)

@@ -37,6 +37,8 @@ def write_table(
     overrides: dict[str, tuple[str, str]] | None = None,
     resume: bool = True,
     chunk_expr=None,
+    chunk_prefix: str = "",
+    append: bool = False,
 ) -> dict:
     """Encode ``df`` into an Iceberg-style encoded-chunk table.
 
@@ -47,6 +49,12 @@ def write_table(
     value-range chunking instead — range chunks give tight per-chunk
     min/max stats, which is what makes manifest chunk-skipping
     selective (Parquet row-group pruning parity).
+
+    ``append=True`` merges this write's chunk entries into the current
+    snapshot instead of replacing it (same-id entries override — writes
+    are idempotent per chunk id, which with a ``chunk_prefix`` per
+    micro-batch gives exactly-once streaming ingestion even when a
+    batch is replayed).
     """
     if num_chunks is None:
         n = df.count()
@@ -66,7 +74,8 @@ def write_table(
         .repartition(num_chunks, "_ck")
         .sortWithinPartitions("_ck", *key_cols)
     )
-    encode_fn = make_encode_fn(table_dir, key_cols, overrides, resume)
+    encode_fn = make_encode_fn(table_dir, key_cols, overrides, resume,
+                               chunk_prefix)
     entry_rows = staged.mapInArrow(encode_fn, "entry_json string").collect()
     entries = [json.loads(r.entry_json) for r in entry_rows]
 
@@ -76,6 +85,7 @@ def write_table(
         schema_ddl=df.schema.json(),
         extra={"num_chunks": num_chunks, "salt_block": salt_block,
                "key_cols": list(key_cols)},
+        append=append,
     )
     return {
         "snapshot_id": snapshot,
