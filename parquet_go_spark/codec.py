@@ -47,15 +47,17 @@ _HDR = struct.Struct("<BBBBQQ")
 _DT_INT32, _DT_INT64, _DT_F32, _DT_F64, _DT_STR, _DT_BOOL = 1, 2, 3, 4, 5, 6
 _DT_TS_UTC, _DT_TS_NAIVE, _DT_DATE32, _DT_INT16, _DT_INT8 = 7, 8, 9, 10, 11
 _DT_LIST_F32, _DT_LIST_F64 = 12, 13
+_DT_BIN, _DT_DEC128 = 14, 15
 
 # codec codes
 _C_PLAIN, _C_PLAIN_STR, _C_DICT, _C_RLE, _C_DELTA, _C_FOR, _C_BSS, _C_FSST, _C_BOOL = (
     1, 2, 3, 4, 5, 6, 7, 8, 9,
 )
+_C_PREFIX = 10
 
 CODECS = {
     "plain": _C_PLAIN, "dict": _C_DICT, "rle": _C_RLE, "delta": _C_DELTA,
-    "for": _C_FOR, "bss": _C_BSS, "fsst": _C_FSST,
+    "for": _C_FOR, "bss": _C_BSS, "fsst": _C_FSST, "prefix": _C_PREFIX,
 }
 _CODEC_NAMES = {v: k for k, v in CODECS.items()}
 _CODEC_NAMES[_C_PLAIN_STR] = "plain"
@@ -96,6 +98,10 @@ def _dtype_code(t: pa.DataType) -> int:
         t.value_type
     ):
         return _DT_LIST_F64
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return _DT_BIN
+    if pa.types.is_decimal128(t):
+        return _DT_DEC128
     raise TypeError(f"unsupported arrow type: {t}")
 
 
@@ -105,6 +111,7 @@ _ARROW_TYPES = {
     _DT_TS_UTC: pa.timestamp("us", tz="UTC"), _DT_TS_NAIVE: pa.timestamp("us"),
     _DT_DATE32: pa.date32(), _DT_INT16: pa.int16(), _DT_INT8: pa.int8(),
     _DT_LIST_F32: pa.list_(pa.float32()), _DT_LIST_F64: pa.list_(pa.float64()),
+    _DT_BIN: pa.binary(),  # decimal128 type is rebuilt from body params
 }
 _NUMPY_TYPES = {
     _DT_INT32: np.int32, _DT_INT64: np.int64, _DT_F32: np.float32,
@@ -127,9 +134,12 @@ def _num_values(arr: pa.Array) -> np.ndarray:
 
 
 def _str_parts(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
-    """Non-null strings → (lengths:int64, data:uint8) contiguous."""
+    """Non-null strings/binary → (lengths:int64, data:uint8) contiguous."""
     a = arr.drop_null() if arr.null_count else arr
-    a = a.cast(pa.large_string())
+    if pa.types.is_binary(a.type) or pa.types.is_large_binary(a.type):
+        a = a.cast(pa.large_binary())
+    else:
+        a = a.cast(pa.large_string())
     if len(a) == 0:
         return np.zeros(0, np.int64), np.zeros(0, np.uint8)
     off = np.frombuffer(a.buffers()[1], np.int64, len(a) + 1, offset=a.offset * 8)
@@ -150,6 +160,15 @@ def _list_parts(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
 
 def _encode_values(arr: pa.Array, dt: int, codec: int) -> bytes:
     """Codec body over the non-null values of ``arr``."""
+    if dt == _DT_DEC128:
+        a = arr.drop_null() if arr.null_count else arr
+        a = a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+        buf = a.buffers()[1]
+        raw = np.frombuffer(buf, np.uint8)[a.offset * 16 : (a.offset + len(a)) * 16]
+        return (
+            struct.pack("<BB", a.type.precision, a.type.scale)
+            + np.ascontiguousarray(raw).tobytes()
+        )
     if dt in (_DT_LIST_F32, _DT_LIST_F64):
         lengths, flat = _list_parts(arr)
         len_blob = for_encode(lengths)
@@ -167,12 +186,16 @@ def _encode_values(arr: pa.Array, dt: int, codec: int) -> bytes:
         from .kernels.fsst import fsst_encode
 
         return fsst_encode(*_str_parts(arr))
+    if codec == _C_PREFIX:
+        from .kernels.prefix import prefix_encode
+
+        return prefix_encode(*_str_parts(arr))
     if codec == _C_DICT:
         a = arr.drop_null() if arr.null_count else arr
         denc = a.dictionary_encode()
         dictionary, indices = denc.dictionary, denc.indices
         card = len(dictionary)
-        sub = _C_PLAIN_STR if dt == _DT_STR else _C_PLAIN
+        sub = _C_PLAIN_STR if dt in (_DT_STR, _DT_BIN) else _C_PLAIN
         vblob = _encode_values(dictionary, dt, sub)
         idx = indices.to_numpy(zero_copy_only=False).astype(np.uint64)
         width = bit_width(card - 1) if card > 1 else 0
@@ -198,6 +221,12 @@ def _encode_values(arr: pa.Array, dt: int, codec: int) -> bytes:
 
 
 def _decode_values(body: memoryview, dt: int, codec: int, n: int) -> pa.Array:
+    if dt == _DT_DEC128:
+        precision, scale = struct.unpack_from("<BB", body, 0)
+        buf = pa.py_buffer(bytes(body[2 : 2 + 16 * n]))
+        return pa.Array.from_buffers(
+            pa.decimal128(precision, scale), n, [None, buf]
+        )
     atype = _ARROW_TYPES[dt]
     if dt in (_DT_LIST_F32, _DT_LIST_F64):
         n_lists, len_blob_len = struct.unpack_from("<QI", body, 0)
@@ -214,22 +243,27 @@ def _decode_values(body: memoryview, dt: int, codec: int, n: int) -> pa.Array:
         return arr.cast(atype)
     if codec == _C_BOOL:
         return pa.array(bool_decode(body, n), type=pa.bool_())
-    if codec in (_C_PLAIN_STR, _C_FSST):
+    if codec in (_C_PLAIN_STR, _C_FSST, _C_PREFIX):
         if codec == _C_FSST:
             from .kernels.fsst import fsst_decode
 
             offsets, data = fsst_decode(body)
+        elif codec == _C_PREFIX:
+            from .kernels.prefix import prefix_decode
+
+            offsets, data = prefix_decode(body)
         else:
             offsets, data = str_decode(body)
+        vtype = pa.large_binary() if dt == _DT_BIN else pa.large_string()
         arr = pa.Array.from_buffers(
-            pa.large_string(), n,
+            vtype, n,
             [None, pa.py_buffer(np.ascontiguousarray(offsets).tobytes()),
              pa.py_buffer(np.ascontiguousarray(data).tobytes())],
         )
-        return arr.cast(pa.string())
+        return arr.cast(_ARROW_TYPES[dt])
     if codec == _C_DICT:
         card, vlen = struct.unpack_from("<QI", body, 0)
-        sub = _C_PLAIN_STR if dt == _DT_STR else _C_PLAIN
+        sub = _C_PLAIN_STR if dt in (_DT_STR, _DT_BIN) else _C_PLAIN
         values = _decode_values(body[12 : 12 + vlen], dt, sub, card)
         idx = rle_decode(body[12 + vlen :]).astype(np.int32)
         if len(idx) != n:
@@ -266,7 +300,7 @@ def encode_array(arr: pa.Array, codec: str, entropy: str = "none") -> bytes:
         arr = arr.combine_chunks()
     dt = _dtype_code(arr.type)
     cid = CODECS[codec]
-    if cid == _C_PLAIN and dt == _DT_STR:
+    if cid == _C_PLAIN and dt in (_DT_STR, _DT_BIN):
         cid = _C_PLAIN_STR
     if cid == _C_PLAIN and dt == _DT_BOOL:
         cid = _C_BOOL

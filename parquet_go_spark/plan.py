@@ -75,6 +75,14 @@ def profile_array(arr: pa.Array, name: str = "", sample: int = 65536) -> ColumnS
             st.run_frac = 1.0 - float((sv[1:] != sv[:-1]).sum() + 1) / len(sv)
         return st
 
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        lens = pc.binary_length(s).to_numpy(zero_copy_only=False)
+        st.avg_len = float(lens.mean()) if len(lens) else 0.0
+        return st
+
+    if pa.types.is_decimal(t):
+        return st  # plain(+zstd) only; no numeric kernel stats
+
     if pa.types.is_boolean(t):
         st.n_distinct = min(st.n_distinct, 2)
         return st
@@ -115,7 +123,12 @@ def choose_codec(st: ColumnStats) -> tuple[str, str]:
     if t == "bool":
         return "plain", "none"
 
-    if t.startswith("list") or t.startswith("large_list"):
+    if t.startswith("list") or t.startswith("large_list") or t.startswith("decimal"):
+        return "plain", "zstd"
+
+    if t in ("binary", "large_binary"):
+        if st.n_distinct <= DICT_MAX_CARD and distinct_ratio <= DICT_MAX_RATIO:
+            return "dict", "zstd"
         return "plain", "zstd"
 
     if "string" in t:

@@ -151,3 +151,34 @@ def test_prune_entries_timestamp_iso():
     lo = datetime.datetime(2025, 1, 5)
     kept = prune_entries([e1, e2], {"ts": (lo, datetime.datetime(2025, 1, 6))})
     assert [e["chunk_id"] for e in kept] == ["a"]
+
+
+def test_binary_roundtrip_all_codecs():
+    import pyarrow as pa
+
+    b = pa.array([b"hello", b"", b"\x00\xff" * 10, None, b"hello"], pa.binary())
+    for codec, ent in [("plain", "none"), ("dict", "zstd"),
+                       ("fsst", "zstd"), ("prefix", "none")]:
+        assert decode_array(encode_array(b, codec, ent)).equals(b), codec
+
+
+def test_decimal_roundtrip():
+    from decimal import Decimal
+
+    import pyarrow as pa
+
+    d = pa.array([Decimal("123.45"), None, Decimal("-99999.99"),
+                  Decimal("0.01")], pa.decimal128(10, 2))
+    assert decode_array(encode_array(d, "plain", "zstd")).equals(d)
+
+
+def test_selector_handles_binary_and_decimal():
+    from decimal import Decimal
+
+    import pyarrow as pa
+
+    b = pa.array([b"a", b"b", b"a"] * 10, pa.binary())
+    codec, ent = choose_codec(profile_array(b, "b"))
+    assert codec in ("dict", "plain")
+    d = pa.array([Decimal("1.5")] * 5, pa.decimal128(5, 2))
+    assert choose_codec(profile_array(d, "d")) == ("plain", "zstd")
