@@ -151,6 +151,20 @@ def main() -> int:
         spark = _quiet_spark(f"local[{cpus}]")
         try:
             from parquet_go_spark import queries as Q
+            from parquet_go_spark import table as T
+
+            sdf = spark.read.parquet(src)
+            best_loc = None
+            for rep in range(repeats):
+                t0 = time.time()
+                T.write_table(
+                    sdf, os.path.join(workdir, f"enc_loc_{rep}"),
+                    key_cols=("conv_id", "turn_idx"), shuffle=False,
+                )
+                best_loc = min(best_loc or 1e9, time.time() - t0)
+            queries[f"transcript_encode_local{cpus}_noshuffle"] = round(
+                best_loc, 3
+            )
 
             t0 = time.time()
             Q.codec_roundtrip(
@@ -194,6 +208,7 @@ def main() -> int:
                     "encode_mb_s_local%d" % lvl: round(mb / runs[lvl]["enc_s"], 2)
                     for lvl in levels
                 },
+                "encode_mb_s_local%d_noshuffle" % cpus: round(mb / best_loc, 2),
                 "scaling_pair": "local[%d] -> local[%d]" % (lo_lvl, mid_lvl),
                 "scaling_speedup_%d_to_%d" % (lo_lvl, mid_lvl): round(speedup_b, 3),
                 "scaling_efficiency": round(eff_b, 3),

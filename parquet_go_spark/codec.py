@@ -66,7 +66,12 @@ _CODEC_NAMES[_C_BOOL] = "plain"
 ENTROPIES = {"none": 0, "zlib": 1, "zstd": 2}
 _ENTROPY_NAMES = {v: k for k, v in ENTROPIES.items()}
 
-_zstd = pa.Codec("zstd")
+# level 9: ~8% smaller than pyarrow's default level 1 on FSST output at
+# ~25 ms/MB — negligible next to the encode kernels; decode speed is
+# unaffected (zstd decompression is level-independent)
+ZSTD_LEVEL = 9
+_zstd = pa.Codec("zstd", compression_level=ZSTD_LEVEL)
+_zstd_any = pa.Codec("zstd")  # decompress accepts any level
 
 
 def _dtype_code(t: pa.DataType) -> int:

@@ -124,8 +124,15 @@ def make_encode_fn(table_dir: str, key_cols: tuple[str, ...],
         tbl = pa.Table.from_batches(blist)
         if tbl.num_rows == 0:
             return
-        ck = tbl.column("_ck").to_numpy(zero_copy_only=False)
-        data = tbl.drop_columns(["_ck"])
+        if "_ck" in tbl.column_names:
+            ck = tbl.column("_ck").to_numpy(zero_copy_only=False)
+            data = tbl.drop_columns(["_ck"])
+        else:
+            # locality mode (write_table(shuffle=False)): the whole
+            # input partition is one chunk, id = partition ordinal
+            pid = tc.partitionId() if tc else 0
+            ck = np.full(tbl.num_rows, pid, dtype=np.int64)
+            data = tbl
         # partition may hold several chunk keys (hash collisions) — rows are
         # sorted by _ck first, so each chunk is a contiguous slice.
         bounds = np.flatnonzero(np.diff(ck)) + 1

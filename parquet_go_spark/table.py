@@ -39,6 +39,7 @@ def write_table(
     chunk_expr=None,
     chunk_prefix: str = "",
     append: bool = False,
+    shuffle: bool = True,
 ) -> dict:
     """Encode ``df`` into an Iceberg-style encoded-chunk table.
 
@@ -55,7 +56,33 @@ def write_table(
     are idempotent per chunk id, which with a ``chunk_prefix`` per
     micro-batch gives exactly-once streaming ingestion even when a
     batch is replayed).
+
+    ``shuffle=False`` (locality mode) skips the exchange entirely: each
+    input partition becomes one chunk (sorted locally on key_cols).
+    Use when the input is already conversation-grouped — the common
+    re-encode case at scale — but note chunk ids then follow the scan's
+    partition ordinals, so resume requires a stable input listing.
     """
+    if not shuffle:
+        staged = df.sortWithinPartitions(*key_cols)
+        encode_fn = make_encode_fn(table_dir, key_cols, overrides, resume,
+                                   chunk_prefix)
+        entry_rows = staged.mapInArrow(encode_fn, "entry_json string").collect()
+        entries = [json.loads(r.entry_json) for r in entry_rows]
+        snapshot = manifest.commit(
+            table_dir, entries, schema_ddl=df.schema.json(),
+            extra={"mode": "locality", "key_cols": list(key_cols)},
+            append=append,
+        )
+        return {
+            "snapshot_id": snapshot,
+            "n_chunks": len(entries),
+            "n_rows": sum(e["n_rows"] for e in entries),
+            "raw_bytes": sum(e["raw_bytes"] for e in entries),
+            "enc_bytes": sum(e["enc_bytes"] for e in entries),
+            "reused_chunks": sum(1 for e in entries if e.get("reused")),
+        }
+
     if num_chunks is None:
         n = df.count()
         num_chunks = max(1, math.ceil(n / rows_per_chunk))

@@ -114,3 +114,31 @@ def test_size_gate_vs_parquet_baseline(spark, tmp_path_factory):
     out = str(tmp_path_factory.mktemp("tbl") / "t7")
     s = table.write_table(df, out, num_chunks=4)
     assert s["enc_bytes"] <= ref_size, (s["enc_bytes"], ref_size)
+
+
+def test_locality_mode_no_shuffle_roundtrip(spark, tmp_path):
+    """shuffle=False: each input partition becomes one chunk; decode
+    must still match the source exactly."""
+    import pyarrow.parquet as pq
+
+    from parquet_go_spark.fixtures import make_transcripts
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    t = make_transcripts(120, seed=5)
+    step = (t.num_rows + 3) // 4
+    for i in range(0, t.num_rows, step):
+        pq.write_table(t.slice(i, step), f"{src}/f{i//step}.parquet")
+
+    df = spark.read.parquet(src)
+    out = str(tmp_path / "tbl")
+    info = table.write_table(df, out, shuffle=False)
+    assert info["n_chunks"] >= 1
+    back = table.read_table(spark, out)
+    assert back.count() == t.num_rows
+    assert back.exceptAll(df).count() == 0
+    assert df.exceptAll(back).count() == 0
+    # plan must not contain an exchange
+    plan = df.sortWithinPartitions("conv_id", "turn_idx")._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
