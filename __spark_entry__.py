@@ -67,6 +67,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_skip_filter": Q.q_chunk_skip_filter,
         "resume_from_manifest": Q.q_resume_from_manifest,
         "stream_ingest": Q.q_stream_ingest,
+        # analytics over the DECODED table (engine output -> Spark SQL)
+        "pricing_summary": Q.q_pricing_summary,
+        "join_decoded": Q.q_join_decoded,
         # training-data pipeline operators
         "dedup_exact": P.dedup_exact,
         "dedup_ngram_jaccard": P.dedup_ngram_jaccard,
@@ -209,6 +212,28 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(8 AS BIGINT) AS n_chunks, "
             "CAST(8 AS BIGINT) AS reused_chunks",
         "stream_ingest": "SELECT * FROM lineitem",
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS sum_qty,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(38,4)))
+                       AS DOUBLE) AS sum_base_price,
+                   CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(38,4))
+                       * (CAST(1 AS DECIMAL(38,4))
+                          - CAST(l_discount AS DECIMAL(38,4)))
+                       AS DECIMAL(38,4))) AS DOUBLE) AS sum_disc_price,
+                   CAST(count(*) AS BIGINT) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus""",
+        "join_decoded": """
+            SELECT o_orderpriority,
+                   CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(38,4))
+                       * (CAST(1 AS DECIMAL(38,4))
+                          - CAST(l_discount AS DECIMAL(38,4)))
+                       AS DECIMAL(38,4))) AS DOUBLE) AS revenue,
+                   CAST(count(*) AS BIGINT) AS n_items
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderpriority""",
         "dedup_exact":
             "SELECT min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) "
             "AS dup_count FROM documents GROUP BY text",

@@ -258,6 +258,57 @@ def q_chunk_skip_filter(spark, sf_dir):
     return dec.filter(F.col("l_orderkey").between(lo, hi))
 
 
+def q_pricing_summary(spark, sf_dir):
+    """TPC-H Q1-style pricing summary computed OVER THE DECODED chunk
+    table — proves the engine's output feeds standard Spark SQL
+    analytics bit-exactly. Sums as decimal(38,4): exact and
+    order-independent, so the oracle hash matches."""
+    dec = table.read_table(spark, encoded_lineitem_dir(spark, sf_dir))
+    d = lambda c: F.col(c).cast("decimal(38,4)")  # noqa: E731
+    return (
+        dec.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(d("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(d("l_extendedprice")).cast("double")
+            .alias("sum_base_price"),
+            F.sum(
+                (d("l_extendedprice") * (F.lit(1).cast("decimal(38,4)")
+                                         - d("l_discount")))
+                .cast("decimal(38,4)")
+            ).cast("double").alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+        .select("l_returnflag", "l_linestatus", "sum_qty",
+                "sum_base_price", "sum_disc_price", "count_order")
+    )
+
+
+def q_join_decoded(spark, sf_dir):
+    """Decoded lineitem ⋈ broadcast(orders): revenue per order
+    priority. The small side is explicitly broadcast (the plan a
+    1000-executor run needs)."""
+    dec = table.read_table(
+        spark, encoded_lineitem_dir(spark, sf_dir),
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).select(
+        F.col("o_orderkey"), F.col("o_orderpriority")
+    )
+    rev = (
+        F.col("l_extendedprice").cast("decimal(38,4)")
+        * (F.lit(1).cast("decimal(38,4)")
+           - F.col("l_discount").cast("decimal(38,4)"))
+    ).cast("decimal(38,4)")
+    return (
+        dec.join(F.broadcast(orders),
+                 dec.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(F.sum(rev).cast("double").alias("revenue"),
+             F.count("*").alias("n_items"))
+    )
+
+
 def q_stream_ingest(spark, sf_dir):
     """Structured-Streaming ingestion: lineitem split into 3 files →
     file-source micro-batches → foreachBatch encode-append → decode.
