@@ -53,32 +53,69 @@ def prune_entries(entries: list[dict], column_predicates: dict | None):
     return kept
 
 
-def make_decode_fn(columns: list[str], verify_crc: bool = True):
+def make_decode_fn(columns: list[str], verify_crc: bool = True,
+                   row_filter: dict | None = None):
     """Build the mapInArrow UDF: iterator[RecordBatch of file paths] →
-    decoded RecordBatches in the requested column order."""
+    decoded RecordBatches in the requested column order.
+
+    ``row_filter`` {col: (lo, hi)} is blob-level late materialization
+    (P2 beyond the reference): the predicate columns are decoded FIRST,
+    the row mask computed, and the remaining blobs are only decoded if
+    any row survives — then every column is mask-filtered before
+    crossing back into the JVM. Combined with manifest chunk skipping
+    this is the full Parquet stats-pruning + row-filter story."""
+    filter_cols = list(row_filter or {})
+    fetch_cols = list(dict.fromkeys(filter_cols + columns))
+
+    def _decode_blob(t, by_col, name, fpath):
+        if name not in by_col:
+            raise KeyError(f"column {name!r} not in chunk {fpath}")
+        i = by_col[name]
+        blob = t.column("blob")[i].as_py()
+        if verify_crc:
+            expect = t.column("crc32")[i].as_py()
+            if zlib.crc32(blob) != expect:
+                raise IOError(f"CRC mismatch for {name} in {fpath}")
+        return decode_array(blob)
 
     def decode_partition(batches):
+        import pyarrow.compute as pc
+
         for b in batches:
             for fpath in b.column("file").to_pylist():
                 t = pq.read_table(fpath)
                 by_col = {
                     t.column("column")[i].as_py(): i for i in range(t.num_rows)
                 }
-                arrays, names = [], []
+                decoded: dict[str, pa.Array] = {}
+                mask = None
+                skip = False
+                for name in filter_cols:
+                    arr = _decode_blob(t, by_col, name, fpath)
+                    decoded[name] = arr
+                    lo, hi = row_filter[name]
+                    m = None
+                    if lo is not None:
+                        m = pc.greater_equal(arr, lo)
+                    if hi is not None:
+                        mh = pc.less_equal(arr, hi)
+                        m = mh if m is None else pc.and_kleene(m, mh)
+                    if m is not None:
+                        mask = m if mask is None else pc.and_kleene(mask, m)
+                        if not pc.any(mask).as_py():
+                            skip = True
+                            break
+                if skip:
+                    continue
+                arrays = []
+                for name in fetch_cols:
+                    if name not in decoded:
+                        decoded[name] = _decode_blob(t, by_col, name, fpath)
                 for name in columns:
-                    if name not in by_col:
-                        raise KeyError(f"column {name!r} not in chunk {fpath}")
-                    i = by_col[name]
-                    blob = t.column("blob")[i].as_py()
-                    if verify_crc:
-                        expect = t.column("crc32")[i].as_py()
-                        if zlib.crc32(blob) != expect:
-                            raise IOError(
-                                f"CRC mismatch for {name} in {fpath}"
-                            )
-                    arr = decode_array(blob)
+                    arr = decoded[name]
+                    if mask is not None:
+                        arr = arr.filter(mask)
                     arrays.append(arr)
-                    names.append(name)
-                yield pa.RecordBatch.from_arrays(arrays, names=names)
+                yield pa.RecordBatch.from_arrays(arrays, names=list(columns))
 
     return decode_partition

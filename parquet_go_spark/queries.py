@@ -254,8 +254,11 @@ def q_chunk_skip_filter(spark, sf_dir):
         chunk_expr=F.floor(F.col("l_orderkey") / F.lit(block)),
     )
     lo, hi = 1000, 3000
-    dec = table.read_table(spark, out, predicates={"l_orderkey": (lo, hi)})
-    return dec.filter(F.col("l_orderkey").between(lo, hi))
+    # manifest chunk skipping + blob-level row filter: the returned DF
+    # is exactly the matching rows, no residual Spark filter
+    return table.read_table(
+        spark, out, predicates={"l_orderkey": (lo, hi)}, push_row_filter=True
+    )
 
 
 def q_pricing_summary(spark, sf_dir):

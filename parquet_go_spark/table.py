@@ -21,7 +21,7 @@ from . import manifest
 from .decode import make_decode_fn, prune_entries
 from .encode import make_encode_fn
 
-__all__ = ["write_table", "read_table", "verify_roundtrip"]
+__all__ = ["write_table", "read_table", "compact", "verify_roundtrip"]
 
 DEFAULT_ROWS_PER_CHUNK = 262_144
 DEFAULT_SALT_BLOCK = 65_536
@@ -130,11 +130,16 @@ def read_table(
     columns: list[str] | None = None,
     predicates: dict | None = None,
     parallelism: int | None = None,
+    push_row_filter: bool = False,
 ) -> DataFrame:
     """Decode an encoded table back to a DataFrame.
 
     ``columns`` → projection pushdown (only those blobs are decoded);
-    ``predicates`` {col: (lo, hi)} → manifest-stats chunk skipping.
+    ``predicates`` {col: (lo, hi)} → manifest-stats chunk skipping, and
+    with ``push_row_filter=True`` also blob-level late materialization:
+    predicate columns decode first, non-matching rows are dropped
+    before the other blobs are touched, so the returned DataFrame
+    contains exactly the matching rows (no residual filter needed).
     """
     listing = manifest.load(table_dir)
     if listing is None:
@@ -160,7 +165,76 @@ def read_table(
     files_df = spark.createDataFrame(
         pd.DataFrame({"file": files}), "file string"
     ).repartition(par)
-    return files_df.mapInArrow(make_decode_fn(columns), sub_schema)
+    row_filter = predicates if (push_row_filter and predicates) else None
+    return files_df.mapInArrow(
+        make_decode_fn(columns, row_filter=row_filter), sub_schema
+    )
+
+
+def compact(
+    spark: SparkSession,
+    table_dir: str,
+    min_rows: int = 32_768,
+    rows_per_chunk: int = DEFAULT_ROWS_PER_CHUNK,
+) -> dict:
+    """Merge small chunks into full-size ones (Iceberg
+    rewrite-data-files parity). Streaming ingestion leaves one chunk
+    set per micro-batch; compaction decodes the small ones, re-encodes
+    them under a fresh chunk namespace, commits a snapshot without the
+    superseded entries, and deletes the orphaned files.
+
+    At scale this is a normal Spark job over only the small chunks —
+    the large ones are untouched (no read amplification)."""
+    import os
+
+    listing = manifest.load(table_dir)
+    if listing is None:
+        raise FileNotFoundError(f"no committed snapshot in {table_dir}")
+    entries = listing["entries"]
+    small = [e for e in entries if e["n_rows"] < min_rows]
+    if len(small) < 2:
+        return {"compacted_chunks": 0, "n_chunks": len(entries)}
+    keep = [e for e in entries if e["n_rows"] >= min_rows]
+    key_cols = tuple(listing["extra"].get("key_cols")
+                     or ["conv_id", "turn_idx"])
+
+    schema = StructType.fromJson(json.loads(listing["schema_ddl"]))
+    cols = [f.name for f in schema.fields]
+    files = [os.path.join(table_dir, e["file"]) for e in small]
+    par = min(len(files), spark.sparkContext.defaultParallelism)
+    files_df = spark.createDataFrame(
+        pd.DataFrame({"file": files}), "file string"
+    ).repartition(par)
+    small_df = files_df.mapInArrow(make_decode_fn(cols), schema)
+
+    prefix = f"c{listing['snapshot_id'] + 1:04d}-"
+    n_small_rows = sum(e["n_rows"] for e in small)
+    info = write_table(
+        small_df, table_dir, key_cols=key_cols,
+        num_chunks=max(1, math.ceil(n_small_rows / rows_per_chunk)),
+        chunk_prefix=prefix, append=True, resume=False,
+    )
+    # drop the superseded entries in a follow-up snapshot, then GC files
+    latest = manifest.load(table_dir)
+    small_ids = {e["chunk_id"] for e in small}
+    final_entries = [e for e in latest["entries"]
+                     if e["chunk_id"] not in small_ids]
+    snap = manifest.commit(
+        table_dir, final_entries, schema_ddl=listing["schema_ddl"],
+        extra={**listing["extra"], "compacted_from": sorted(small_ids)},
+    )
+    for e in small:
+        try:
+            os.unlink(os.path.join(table_dir, e["file"]))
+        except OSError:
+            pass
+    return {
+        "snapshot_id": snap,
+        "compacted_chunks": len(small),
+        "new_chunks": info["n_chunks"],
+        "n_chunks": len(final_entries),
+        "n_rows": sum(e["n_rows"] for e in final_entries),
+    }
 
 
 def verify_roundtrip(source: DataFrame, decoded: DataFrame,

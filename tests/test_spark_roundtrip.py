@@ -142,3 +142,57 @@ def test_locality_mode_no_shuffle_roundtrip(spark, tmp_path):
     plan = df.sortWithinPartitions("conv_id", "turn_idx")._jdf \
         .queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_row_filter_pushdown(spark, transcripts, tmp_path):
+    """push_row_filter=True must return exactly the matching rows,
+    filtered inside the decode kernel (no residual filter)."""
+    out = str(tmp_path / "tbl")
+    table.write_table(transcripts, out, num_chunks=6)
+    lo, hi = 5, 9
+    got = table.read_table(
+        spark, out, predicates={"turn_idx": (lo, hi)}, push_row_filter=True
+    )
+    import pyspark.sql.functions as F
+
+    want = transcripts.filter(F.col("turn_idx").between(lo, hi))
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
+def test_compact_streaming_table(spark, tmp_path):
+    """Many small streaming chunks → compact → fewer chunks, same data,
+    orphans deleted."""
+    import pyarrow.parquet as pq
+
+    from parquet_go_spark import streaming
+    from parquet_go_spark.fixtures import make_transcripts
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    for i in range(3):
+        pq.write_table(make_transcripts(40, seed=200 + i),
+                       f"{src}/f{i}.parquet")
+    ddl = ("conv_id string, turn_idx int, role string, text string, "
+           "tool string, ts timestamp")
+    tbl = str(tmp_path / "tbl")
+    stream = (spark.readStream.schema(ddl)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = streaming.encode_stream(stream, tbl, str(tmp_path / "ckpt"),
+                                chunks_per_batch=4)
+    q.awaitTermination(120)
+
+    before = manifest.load(tbl)
+    src_df = spark.read.schema(ddl).parquet(src)
+    res = table.compact(spark, tbl, min_rows=10_000)
+    after = manifest.load(tbl)
+    assert res["compacted_chunks"] == before["n_chunks"]
+    assert after["n_chunks"] < before["n_chunks"]
+    assert after["n_rows"] == before["n_rows"]
+    # superseded files are gone, data identical
+    files = set(glob.glob(os.path.join(tbl, "chunks", "*.parquet")))
+    assert len(files) == after["n_chunks"]
+    back = table.read_table(spark, tbl)
+    assert back.exceptAll(src_df).count() == 0
+    assert src_df.exceptAll(back).count() == 0
