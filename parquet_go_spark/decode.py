@@ -16,7 +16,15 @@ import pyarrow.parquet as pq
 
 from .codec import decode_array
 
-__all__ = ["make_decode_fn", "prune_entries"]
+__all__ = ["make_decode_fn", "prune_entries", "normalize_predicate"]
+
+
+def normalize_predicate(p):
+    """A predicate is either a (lo, hi) range (None = unbounded) or a
+    bare scalar = point lookup. Returns (lo, hi, point)."""
+    if isinstance(p, (tuple, list)) and len(p) == 2:
+        return p[0], p[1], None
+    return p, p, p
 
 
 def prune_entries(entries: list[dict], column_predicates: dict | None):
@@ -29,25 +37,32 @@ def prune_entries(entries: list[dict], column_predicates: dict | None):
         return entries
     from .manifest import stat_value
 
-    preds = {
-        col: (stat_value(lo), stat_value(hi))
-        for col, (lo, hi) in column_predicates.items()
-    }
+    preds = {}
+    for col, p in column_predicates.items():
+        lo, hi, point = normalize_predicate(p)
+        preds[col] = (stat_value(lo), stat_value(hi), point)
     kept = []
     for e in entries:
         skip = False
-        for col, (lo, hi) in preds.items():
+        for col, (lo, hi, point) in preds.items():
             m = e["columns"].get(col)
-            if m is None or m.get("min") is None or m.get("max") is None:
+            if m is None:
                 continue
-            try:
-                if (hi is not None and m["min"] > hi) or (
-                    lo is not None and m["max"] < lo
-                ):
+            if m.get("min") is not None and m.get("max") is not None:
+                try:
+                    if (hi is not None and m["min"] > hi) or (
+                        lo is not None and m["max"] < lo
+                    ):
+                        skip = True
+                        break
+                except TypeError:
+                    pass
+            if point is not None and m.get("bloom"):
+                from .kernels.bloom import bloom_contains
+
+                if not bloom_contains(m["bloom"], point):
                     skip = True
                     break
-            except TypeError:
-                continue
         if not skip:
             kept.append(e)
     return kept

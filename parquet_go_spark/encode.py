@@ -55,7 +55,8 @@ _MANIFEST_META_KEY = b"pgs_manifest_entry"
 
 
 def _encode_one_column(arr: pa.Array, name: str,
-                       override: tuple[str, str] | None) -> tuple[bytes, dict]:
+                       override: tuple[str, str] | None,
+                       with_bloom: bool = False) -> tuple[bytes, dict]:
     st = profile_array(arr, name)
     codec, entropy = override if override else choose_codec(st)
     blob = encode_array(arr, codec, entropy)
@@ -76,6 +77,14 @@ def _encode_one_column(arr: pa.Array, name: str,
         "enc_bytes": len(blob),
         "crc32": zlib.crc32(blob),
     }
+    if with_bloom:
+        import pyarrow.compute as pc
+
+        from .kernels.bloom import bloom_build
+
+        meta["bloom"] = bloom_build(
+            pc.unique(arr.drop_null() if arr.null_count else arr).to_pylist()
+        )
     return blob, meta
 
 
@@ -106,7 +115,8 @@ def read_chunk_entry(path: str) -> dict | None:
 
 def make_encode_fn(table_dir: str, key_cols: tuple[str, ...],
                    overrides: dict[str, tuple[str, str]] | None = None,
-                   resume: bool = True, chunk_prefix: str = ""):
+                   resume: bool = True, chunk_prefix: str = "",
+                   bloom_cols: tuple[str, ...] = ()):
     """Build the mapInArrow UDF: iterator[RecordBatch] → entry_json rows.
 
     ``chunk_prefix`` namespaces chunk ids (streaming micro-batches use
@@ -155,7 +165,10 @@ def make_encode_fn(table_dir: str, key_cols: tuple[str, ...],
             rows, columns_meta = [], {}
             for name in chunk.column_names:
                 arr = chunk.column(name).combine_chunks()
-                blob, meta = _encode_one_column(arr, name, overrides.get(name))
+                blob, meta = _encode_one_column(
+                    arr, name, overrides.get(name),
+                    with_bloom=name in bloom_cols,
+                )
                 columns_meta[name] = meta
                 rows.append(
                     {

@@ -90,13 +90,36 @@ def commit(table_dir: str, entries: list[dict], schema_ddl: str,
     return snapshot_id
 
 
-def load(table_dir: str) -> dict | None:
-    """Load current snapshot (listing + chunk entries); None if uncommitted."""
+def load(table_dir: str, snapshot_id: int | None = None) -> dict | None:
+    """Load a snapshot (listing + chunk entries); None if uncommitted.
+
+    ``snapshot_id`` selects a historical snapshot (time travel —
+    manifest files are retained per snapshot, Iceberg-style). Caveats:
+    chunk ids are content-addressed, so a later write that reuses an id
+    (same chunking, no ``chunk_prefix``) rewrites the file in place and
+    invalidates older snapshots referencing it — versioned rewrites
+    should namespace with ``chunk_prefix``; compaction likewise deletes
+    superseded chunk files."""
     lpath = os.path.join(table_dir, "_manifest_list.json")
     if not os.path.exists(lpath):
         return None
     with open(lpath) as f:
         listing = json.load(f)
+    if snapshot_id is not None and snapshot_id != listing["snapshot_id"]:
+        mpath = os.path.join(table_dir, "_manifests",
+                             f"manifest-{snapshot_id}.json")
+        if not os.path.exists(mpath):
+            raise FileNotFoundError(
+                f"snapshot {snapshot_id} not found in {table_dir}"
+            )
+        with open(mpath) as f:
+            entries = json.load(f)["entries"]
+        listing = dict(listing, snapshot_id=snapshot_id,
+                       manifest=os.path.relpath(mpath, table_dir),
+                       entries=entries,
+                       n_chunks=len(entries),
+                       n_rows=sum(e["n_rows"] for e in entries))
+        return listing
     with open(os.path.join(table_dir, listing["manifest"])) as f:
         listing["entries"] = json.load(f)["entries"]
     return listing

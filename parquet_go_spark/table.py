@@ -40,6 +40,7 @@ def write_table(
     chunk_prefix: str = "",
     append: bool = False,
     shuffle: bool = True,
+    bloom_cols: tuple[str, ...] = (),
 ) -> dict:
     """Encode ``df`` into an Iceberg-style encoded-chunk table.
 
@@ -66,7 +67,7 @@ def write_table(
     if not shuffle:
         staged = df.sortWithinPartitions(*key_cols)
         encode_fn = make_encode_fn(table_dir, key_cols, overrides, resume,
-                                   chunk_prefix)
+                                   chunk_prefix, bloom_cols)
         entry_rows = staged.mapInArrow(encode_fn, "entry_json string").collect()
         entries = [json.loads(r.entry_json) for r in entry_rows]
         snapshot = manifest.commit(
@@ -102,7 +103,7 @@ def write_table(
         .sortWithinPartitions("_ck", *key_cols)
     )
     encode_fn = make_encode_fn(table_dir, key_cols, overrides, resume,
-                               chunk_prefix)
+                               chunk_prefix, bloom_cols)
     entry_rows = staged.mapInArrow(encode_fn, "entry_json string").collect()
     entries = [json.loads(r.entry_json) for r in entry_rows]
 
@@ -131,8 +132,10 @@ def read_table(
     predicates: dict | None = None,
     parallelism: int | None = None,
     push_row_filter: bool = False,
+    snapshot_id: int | None = None,
 ) -> DataFrame:
     """Decode an encoded table back to a DataFrame.
+    ``snapshot_id`` → time travel to a historical snapshot.
 
     ``columns`` → projection pushdown (only those blobs are decoded);
     ``predicates`` {col: (lo, hi)} → manifest-stats chunk skipping, and
@@ -141,7 +144,7 @@ def read_table(
     before the other blobs are touched, so the returned DataFrame
     contains exactly the matching rows (no residual filter needed).
     """
-    listing = manifest.load(table_dir)
+    listing = manifest.load(table_dir, snapshot_id=snapshot_id)
     if listing is None:
         raise FileNotFoundError(f"no committed snapshot in {table_dir}")
     schema = StructType.fromJson(json.loads(listing["schema_ddl"]))
@@ -165,7 +168,14 @@ def read_table(
     files_df = spark.createDataFrame(
         pd.DataFrame({"file": files}), "file string"
     ).repartition(par)
-    row_filter = predicates if (push_row_filter and predicates) else None
+    if push_row_filter and predicates:
+        from .decode import normalize_predicate
+
+        row_filter = {
+            c: normalize_predicate(p)[:2] for c, p in predicates.items()
+        }
+    else:
+        row_filter = None
     return files_df.mapInArrow(
         make_decode_fn(columns, row_filter=row_filter), sub_schema
     )

@@ -196,3 +196,41 @@ def test_compact_streaming_table(spark, tmp_path):
     back = table.read_table(spark, tbl)
     assert back.exceptAll(src_df).count() == 0
     assert src_df.exceptAll(back).count() == 0
+
+
+def test_bloom_point_lookup_prunes_chunks(spark, transcripts, tmp_path):
+    """Bloom on conv_id: a point lookup must prune to the one chunk
+    holding the conversation and return exactly its rows."""
+    from parquet_go_spark.decode import prune_entries
+
+    out = str(tmp_path / "tbl")
+    table.write_table(transcripts, out, num_chunks=12,
+                      bloom_cols=("conv_id",))
+    listing = manifest.load(out)
+    assert all("bloom" in e["columns"]["conv_id"]
+               for e in listing["entries"])
+    target = "conv-00000007"
+    kept = prune_entries(listing["entries"], {"conv_id": target})
+    assert 1 <= len(kept) <= 2  # hash-chunked: conv lives in one chunk
+    got = table.read_table(spark, out, predicates={"conv_id": target},
+                           push_row_filter=True)
+    import pyspark.sql.functions as F
+
+    want = transcripts.filter(F.col("conv_id") == target)
+    assert got.count() == want.count() > 0
+    assert got.exceptAll(want).count() == 0
+
+
+def test_time_travel_snapshot(spark, transcripts, tmp_path):
+    """Snapshots stay readable when writes use distinct chunk
+    namespaces (chunk ids are content-addressed: a same-id rewrite
+    replaces the file, so versioned writes must prefix)."""
+    out = str(tmp_path / "tbl")
+    table.write_table(transcripts.limit(100), out, num_chunks=2,
+                      key_cols=("conv_id", "turn_idx"))
+    table.write_table(transcripts, out, num_chunks=4, resume=False,
+                      chunk_prefix="v2-")
+    old = table.read_table(spark, out, snapshot_id=0)
+    new = table.read_table(spark, out)
+    assert old.count() == 100
+    assert new.count() == transcripts.count()
