@@ -65,6 +65,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "manifest_write": Q.q_manifest_write,
         "decode_chunks": Q.q_decode_chunks,
         "chunk_skip_filter": Q.q_chunk_skip_filter,
+        "bloom_point_lookup": Q.q_bloom_point_lookup,
         "resume_from_manifest": Q.q_resume_from_manifest,
         "stream_ingest": Q.q_stream_ingest,
         # analytics over the DECODED table (engine output -> Spark SQL)
@@ -208,6 +209,8 @@ def oracle_sql() -> dict[str, str]:
         "decode_chunks": "SELECT l_orderkey, l_extendedprice FROM lineitem",
         "chunk_skip_filter":
             "SELECT * FROM lineitem WHERE l_orderkey BETWEEN 1000 AND 3000",
+        "bloom_point_lookup":
+            "SELECT * FROM lineitem WHERE l_orderkey = 1000",
         "resume_from_manifest":
             "SELECT CAST(8 AS BIGINT) AS n_chunks, "
             "CAST(8 AS BIGINT) AS reused_chunks",

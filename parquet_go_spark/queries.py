@@ -342,6 +342,20 @@ def q_stream_ingest(spark, sf_dir):
     return table.read_table(spark, tbl_dir)
 
 
+def q_bloom_point_lookup(spark, sf_dir):
+    """Point lookup through bloom + min/max pruning + blob-level row
+    filter (M6 parity, parquet.thrift:752-795): the returned rows are
+    exactly the key's rows with no residual Spark filter."""
+    out = os.path.join(tempfile.mkdtemp(prefix="pgs_bloom_"), "lineitem")
+    table.write_table(
+        _lineitem(spark, sf_dir), out, key_cols=LINEITEM_KEY,
+        num_chunks=8, bloom_cols=("l_orderkey",),
+    )
+    return table.read_table(
+        spark, out, predicates={"l_orderkey": 1000}, push_row_filter=True
+    )
+
+
 def q_resume_from_manifest(spark, sf_dir):
     """Second write into the same dir must reuse every committed chunk."""
     df = _lineitem(spark, sf_dir)
