@@ -129,7 +129,10 @@ def main() -> int:
         runs = {}
         for lvl in levels:
             best = None
-            for rep in range(repeats):
+            # the mid level anchors the scaling pair and is the most
+            # stall-sensitive — give it one extra sample
+            n_reps = repeats + 1 if lvl == levels[1] else repeats
+            for rep in range(n_reps):
                 r = _encode_decode(
                     f"local[{lvl}]", src,
                     os.path.join(workdir, f"enc_{lvl}_{rep}"),

@@ -54,10 +54,12 @@ _C_PLAIN, _C_PLAIN_STR, _C_DICT, _C_RLE, _C_DELTA, _C_FOR, _C_BSS, _C_FSST, _C_B
     1, 2, 3, 4, 5, 6, 7, 8, 9,
 )
 _C_PREFIX = 10
+_C_PFOR, _C_DELTAP = 11, 12
 
 CODECS = {
     "plain": _C_PLAIN, "dict": _C_DICT, "rle": _C_RLE, "delta": _C_DELTA,
     "for": _C_FOR, "bss": _C_BSS, "fsst": _C_FSST, "prefix": _C_PREFIX,
+    "pfor": _C_PFOR, "deltap": _C_DELTAP,
 }
 _CODEC_NAMES = {v: k for k, v in CODECS.items()}
 _CODEC_NAMES[_C_PLAIN_STR] = "plain"
@@ -215,6 +217,19 @@ def _encode_values(arr: pa.Array, dt: int, codec: int) -> bytes:
         return delta_encode(v.astype(np.int64))
     if codec == _C_FOR:
         return for_encode(v.astype(np.int64))
+    if codec == _C_PFOR:
+        from .kernels.pfor import pfor_encode
+
+        return pfor_encode(v.astype(np.int64))
+    if codec == _C_DELTAP:
+        from .kernels.pfor import pfor_encode
+
+        v64 = v.astype(np.int64)
+        if len(v64) == 0:
+            return struct.pack("<Qq", 0, 0)
+        u = v64.view(np.uint64)
+        diffs = (u[1:] - u[:-1]).view(np.int64)  # wrap-safe
+        return struct.pack("<Qq", len(v64), int(v64[0])) + pfor_encode(diffs)
     if codec == _C_RLE:
         ref = int(v.min()) if len(v) else 0
         shifted = (v.astype(np.int64).view(np.uint64)
@@ -290,6 +305,23 @@ def _decode_values(body: memoryview, dt: int, codec: int, n: int) -> pa.Array:
         ).astype(npt)
     elif codec == _C_BSS:
         v = bss_decode(body, n, npt)
+    elif codec == _C_PFOR:
+        from .kernels.pfor import pfor_decode
+
+        v = pfor_decode(body).astype(npt)
+    elif codec == _C_DELTAP:
+        from .kernels.pfor import pfor_decode
+
+        n2, first = struct.unpack_from("<Qq", body, 0)
+        if n2 == 0:
+            v = np.zeros(0, dtype=npt)
+        else:
+            diffs = pfor_decode(body[16:])
+            out = np.empty(n2, dtype=np.uint64)
+            out[0] = np.int64(first).view(np.uint64)
+            if n2 > 1:
+                out[1:] = out[0] + np.cumsum(diffs.view(np.uint64))
+            v = out.view(np.int64).astype(npt)
     else:
         raise ValueError(f"unknown codec id {codec}")
     if dt in (_DT_TS_UTC, _DT_TS_NAIVE, _DT_DATE32):

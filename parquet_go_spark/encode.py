@@ -60,6 +60,14 @@ def _encode_one_column(arr: pa.Array, name: str,
     st = profile_array(arr, name)
     codec, entropy = override if override else choose_codec(st)
     blob = encode_array(arr, codec, entropy)
+    # patched-FOR upgrade: when outliers inflate the frame width (e.g.
+    # cross-conversation ts jumps in a sorted chunk), the PFOR sibling
+    # usually wins — encode both, keep the smaller (cheap for numerics)
+    if override is None and codec in ("delta", "for"):
+        sibling = "deltap" if codec == "delta" else "pfor"
+        alt = encode_array(arr, sibling, entropy)
+        if len(alt) < len(blob):
+            blob, codec = alt, sibling
     # dictionary/codec fallback guard (parquet-go dict-page fallback parity):
     # if the chosen encoding did not beat raw bytes, drop to plain+zstd.
     if override is None and len(blob) > arr.nbytes:

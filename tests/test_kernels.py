@@ -170,3 +170,35 @@ def test_bss_roundtrip():
 def test_bool_roundtrip():
     v = RNG.random(1001) < 0.5
     np.testing.assert_array_equal(bool_decode(bool_encode(v), 1001), v)
+
+
+def test_pfor_roundtrip_with_outliers():
+    from parquet_go_spark.kernels.pfor import pfor_decode, pfor_encode
+
+    rng = np.random.default_rng(0)
+    v = rng.integers(0, 100, 5000)
+    v[rng.integers(0, 5000, 50)] = rng.integers(2**40, 2**50, 50)
+    blob = pfor_encode(v)
+    assert np.array_equal(pfor_decode(blob), v)
+    # outliers must not blow up the width: ~7 bits/value + exceptions
+    assert len(blob) < 5000 * 2
+
+
+def test_pfor_edges():
+    from parquet_go_spark.kernels.pfor import pfor_decode, pfor_encode
+
+    for v in ([], [0], [2**62, -2**62], [5] * 100, list(range(64))):
+        a = np.array(v, dtype=np.int64)
+        assert np.array_equal(pfor_decode(pfor_encode(a)), a)
+
+
+@settings(max_examples=80, deadline=None)
+@given(
+    hst.lists(hst.integers(min_value=-(2**63), max_value=2**63 - 1),
+              max_size=300)
+)
+def test_pfor_property(values):
+    from parquet_go_spark.kernels.pfor import pfor_decode, pfor_encode
+
+    a = np.array(values, dtype=np.int64)
+    assert np.array_equal(pfor_decode(pfor_encode(a)), a)
