@@ -234,3 +234,28 @@ def test_time_travel_snapshot(spark, transcripts, tmp_path):
     new = table.read_table(spark, out)
     assert old.count() == 100
     assert new.count() == transcripts.count()
+
+
+def test_corrupted_chunk_detected(spark, transcripts, tmp_path):
+    """A flipped byte in a chunk file must surface as a CRC error at
+    decode, not as silent wrong data (M7, parquet.thrift:807-824)."""
+    import pyarrow.parquet as pq
+
+    out = str(tmp_path / "tbl")
+    table.write_table(transcripts, out, num_chunks=2)
+    victim = glob.glob(os.path.join(out, "chunks", "*.parquet"))[0]
+    t = pq.read_table(victim)
+    blobs = t.column("blob").to_pylist()
+    b = bytearray(blobs[0])
+    b[len(b) // 2] ^= 0xFF
+    blobs[0] = bytes(b)
+    import pyarrow as pa
+
+    cols = {n: t.column(n) for n in t.column_names}
+    cols["blob"] = pa.array(blobs, pa.large_binary())
+    pq.write_table(
+        pa.table(cols).replace_schema_metadata(t.schema.metadata),
+        victim, compression="none",
+    )
+    with pytest.raises(Exception, match="CRC mismatch"):
+        table.read_table(spark, out).count()
