@@ -69,7 +69,8 @@ def prune_entries(entries: list[dict], column_predicates: dict | None):
 
 
 def make_decode_fn(columns: list[str], verify_crc: bool = True,
-                   row_filter: dict | None = None):
+                   row_filter: dict | None = None,
+                   column_types: dict | None = None):
     """Build the mapInArrow UDF: iterator[RecordBatch of file paths] →
     decoded RecordBatches in the requested column order.
 
@@ -78,12 +79,20 @@ def make_decode_fn(columns: list[str], verify_crc: bool = True,
     the row mask computed, and the remaining blobs are only decoded if
     any row survives — then every column is mask-filtered before
     crossing back into the JVM. Combined with manifest chunk skipping
-    this is the full Parquet stats-pruning + row-filter story."""
+    this is the full Parquet stats-pruning + row-filter story.
+
+    ``column_types`` {name: arrow type} enables schema evolution: a
+    column absent from a chunk (encoded before the column was added)
+    decodes as nulls of the declared type instead of erroring."""
     filter_cols = list(row_filter or {})
     fetch_cols = list(dict.fromkeys(filter_cols + columns))
+    column_types = column_types or {}
 
     def _decode_blob(t, by_col, name, fpath):
         if name not in by_col:
+            if name in column_types:
+                n_rows = t.column("n_values")[0].as_py() if t.num_rows else 0
+                return pa.nulls(n_rows, column_types[name])
             raise KeyError(f"column {name!r} not in chunk {fpath}")
         i = by_col[name]
         blob = t.column("blob")[i].as_py()

@@ -15,7 +15,7 @@ import math
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructType
+from pyspark.sql.types import StructField, StructType
 
 from . import manifest
 from .decode import make_decode_fn, prune_entries
@@ -153,7 +153,16 @@ def read_table(
     unknown = [c for c in columns if c not in set(all_cols)]
     if unknown:
         raise KeyError(f"columns not in table schema: {unknown} (have {all_cols})")
-    sub_schema = StructType([f for f in schema.fields if f.name in set(columns)])
+    # all fields nullable: schema evolution null-fills columns that
+    # predate a chunk, regardless of the writer-side nullability
+    sub_schema = StructType(
+        [
+            StructField(f.name, f.dataType, nullable=True,
+                        metadata=f.metadata)
+            for f in schema.fields
+            if f.name in set(columns)
+        ]
+    )
     # preserve requested order
     order = {n: i for i, n in enumerate(columns)}
     sub_schema = StructType(sorted(sub_schema.fields, key=lambda f: order[f.name]))
@@ -176,8 +185,16 @@ def read_table(
         }
     else:
         row_filter = None
+    try:  # schema evolution: null-fill columns missing from old chunks
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        column_types = {f.name: f.type for f in to_arrow_schema(sub_schema)}
+    except Exception:
+        column_types = {}
     return files_df.mapInArrow(
-        make_decode_fn(columns, row_filter=row_filter), sub_schema
+        make_decode_fn(columns, row_filter=row_filter,
+                       column_types=column_types),
+        sub_schema,
     )
 
 

@@ -259,3 +259,24 @@ def test_corrupted_chunk_detected(spark, transcripts, tmp_path):
     )
     with pytest.raises(Exception, match="CRC mismatch"):
         table.read_table(spark, out).count()
+
+
+def test_schema_evolution_null_fills_old_chunks(spark, tmp_path):
+    """Chunks written before a column existed decode as nulls for it
+    (additive schema evolution, the common transcripts case)."""
+    import pyspark.sql.functions as F
+
+    df_v1 = make_transcripts_df(spark, n_conv=40, seed=11)
+    out = str(tmp_path / "tbl")
+    table.write_table(df_v1, out, num_chunks=2, chunk_prefix="v1-")
+    df_v2 = make_transcripts_df(spark, n_conv=30, seed=12).withColumn(
+        "model", F.lit("m-1")
+    )
+    table.write_table(df_v2, out, num_chunks=2, chunk_prefix="v2-",
+                      append=True)
+    back = table.read_table(spark, out)
+    assert "model" in back.columns
+    n1, n2 = df_v1.count(), df_v2.count()
+    assert back.count() == n1 + n2
+    assert back.filter(F.col("model").isNull()).count() == n1
+    assert back.filter(F.col("model") == "m-1").count() == n2
