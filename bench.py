@@ -44,6 +44,9 @@ def _quiet_spark(master: str):
     spark = (
         SparkSession.builder.master(master)
         .config("spark.sql.session.timeZone", "UTC")
+        # local mode runs executor + driver in one JVM; the 1g default
+        # heap OOMs near 1 GB raw input (applies at first JVM launch)
+        .config("spark.driver.memory", "48g")
         .config("spark.sql.shuffle.partitions", "64")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.shuffle.compress", "false")

@@ -45,6 +45,7 @@ _MAX_LEN = 8
 _ESCAPE = 255
 _GENERATIONS = 5
 _SAMPLE_TARGET = 1 << 16  # train on ≤64 KiB sampled across the buffer
+_ENCODE_BLOCK = 1 << 22   # ≤4 MiB of string data per parse segment
 
 
 def _window_keys(data: np.ndarray) -> np.ndarray:
@@ -301,8 +302,23 @@ def fsst_encode(lengths: np.ndarray, data: np.ndarray) -> bytes:
     mt = _MatchTables(symbols)
     offsets = np.zeros(len(lengths) + 1, np.int64)
     np.cumsum(lengths, out=offsets[1:])
-    P, codes = _parse_strings(data, offsets, mt)
-    enc = _emit(data, P, codes)
+    # Segment by string groups of ≤ _ENCODE_BLOCK bytes: the frontier
+    # gathers stay cache-resident however large the chunk is (a 26 MB
+    # buffer per worker re-saturates the memory bus at 32-way
+    # concurrency). Exact: the parse is per-string anyway.
+    parts = []
+    n_str = len(lengths)
+    i = 0
+    while i < n_str:
+        j = int(np.searchsorted(offsets, offsets[i] + _ENCODE_BLOCK,
+                                side="left"))
+        j = min(max(j, i + 1), n_str)
+        seg = data[offsets[i] : offsets[j]]
+        seg_off = offsets[i : j + 1] - offsets[i]
+        P, codes = _parse_strings(seg, seg_off, mt)
+        parts.append(_emit(seg, P, codes))
+        i = j
+    enc = (np.concatenate(parts) if parts else np.zeros(0, np.uint8))
 
     len_blob = for_encode(np.ascontiguousarray(lengths, dtype=np.int64))
     sym_lens = bytes(len(s) for s in symbols)
