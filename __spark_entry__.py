@@ -68,6 +68,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_point_lookup": Q.q_bloom_point_lookup,
         "resume_from_manifest": Q.q_resume_from_manifest,
         "stream_ingest": Q.q_stream_ingest,
+        "locality_roundtrip": Q.q_locality_roundtrip,
+        "compact_roundtrip": Q.q_compact_roundtrip,
+        "schema_evolution": Q.q_schema_evolution,
         # analytics over the DECODED table (engine output -> Spark SQL)
         "pricing_summary": Q.q_pricing_summary,
         "join_decoded": Q.q_join_decoded,
@@ -215,6 +218,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(8 AS BIGINT) AS n_chunks, "
             "CAST(8 AS BIGINT) AS reused_chunks",
         "stream_ingest": "SELECT * FROM lineitem",
+        "locality_roundtrip": "SELECT * FROM lineitem",
+        "compact_roundtrip": "SELECT * FROM lineitem",
+        "schema_evolution":
+            "SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, "
+            "l_quantity, l_extendedprice, l_discount, l_tax, l_returnflag, "
+            "l_linestatus, CASE WHEN l_orderkey <= 30000 THEN NULL "
+            "ELSE l_shipdate END AS l_shipdate FROM lineitem",
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    CAST(sum(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS sum_qty,

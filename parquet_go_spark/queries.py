@@ -261,6 +261,45 @@ def q_chunk_skip_filter(spark, sf_dir):
     )
 
 
+def q_locality_roundtrip(spark, sf_dir):
+    """Shuffle-free encode (input partition = chunk) → decode identity."""
+    out = os.path.join(tempfile.mkdtemp(prefix="pgs_loc_"), "lineitem")
+    table.write_table(
+        _lineitem(spark, sf_dir), out, key_cols=LINEITEM_KEY, shuffle=False
+    )
+    return table.read_table(spark, out)
+
+
+def q_compact_roundtrip(spark, sf_dir):
+    """Small-chunk write → compact → decode must still be identity."""
+    out = os.path.join(tempfile.mkdtemp(prefix="pgs_cmp_"), "lineitem")
+    df = _lineitem(spark, sf_dir)
+    # two appends of tiny chunks, then merge them
+    lo = df.filter(F.col("l_orderkey") % 2 == 0)
+    hi = df.filter(F.col("l_orderkey") % 2 == 1)
+    table.write_table(lo, out, key_cols=LINEITEM_KEY, num_chunks=6,
+                      chunk_prefix="a-", append=True)
+    table.write_table(hi, out, key_cols=LINEITEM_KEY, num_chunks=6,
+                      chunk_prefix="b-", append=True)
+    table.compact(spark, out, min_rows=1 << 20)
+    return table.read_table(spark, out)
+
+
+def q_schema_evolution(spark, sf_dir):
+    """Additive evolution: chunks written before l_shipdate existed
+    decode as NULL for it."""
+    out = os.path.join(tempfile.mkdtemp(prefix="pgs_evo_"), "lineitem")
+    df = _lineitem(spark, sf_dir)
+    split = 30_000
+    old = df.filter(F.col("l_orderkey") <= split).drop("l_shipdate")
+    new = df.filter(F.col("l_orderkey") > split)
+    table.write_table(old, out, key_cols=LINEITEM_KEY, num_chunks=4,
+                      chunk_prefix="v1-", append=True)
+    table.write_table(new, out, key_cols=LINEITEM_KEY, num_chunks=4,
+                      chunk_prefix="v2-", append=True)
+    return table.read_table(spark, out)
+
+
 def q_pricing_summary(spark, sf_dir):
     """TPC-H Q1-style pricing summary computed OVER THE DECODED chunk
     table — proves the engine's output feeds standard Spark SQL

@@ -99,7 +99,8 @@ def main() -> int:
             if av.dtype.kind == "f":
                 eq = np.allclose(av, bv, rtol=0, atol=0, equal_nan=True)
             else:
-                eq = (av == bv).all()
+                both_na = pd.isna(av) & pd.isna(bv)
+                eq = ((av == bv) | both_na).all()
             if not eq:
                 bad = c
                 break
