@@ -1,0 +1,59 @@
+"""spark-submit entry point: encode a transcript parquet dataset into
+an encoded-chunk table and verify the round-trip.
+
+Usage:
+    spark-submit [--master ...] --py-files pgs.zip scripts/submit_job.py \
+        <input_parquet_dir> <output_table_dir> [num_chunks]
+
+Prints one JSON line with sizes, timing, and the verify result — the
+north_rule deployment shape (zero JVM code, package shipped as a zip).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+from pyspark.sql import SparkSession
+
+
+def main() -> int:
+    src, out = sys.argv[1], sys.argv[2]
+    num_chunks = int(sys.argv[3]) if len(sys.argv) > 3 else 64
+
+    spark = (
+        SparkSession.builder.appName("parquet_go_spark-encode")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("WARN")
+
+    from parquet_go_spark import table
+
+    df = spark.read.parquet(src)
+    t0 = time.time()
+    info = table.write_table(df, out, num_chunks=num_chunks)
+    t_enc = time.time() - t0
+    t0 = time.time()
+    decoded = table.read_table(spark, out)
+    n_dec = decoded.count()
+    t_dec = time.time() - t0
+
+    print(json.dumps({
+        "n_rows": info["n_rows"],
+        "decoded_rows": n_dec,
+        "raw_bytes": info["raw_bytes"],
+        "enc_bytes": info["enc_bytes"],
+        "ratio": round(info["raw_bytes"] / max(info["enc_bytes"], 1), 3),
+        "encode_s": round(t_enc, 2),
+        "decode_s": round(t_dec, 2),
+        "identical_count": n_dec == info["n_rows"],
+        "executors": spark.sparkContext.defaultParallelism,
+    }))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
