@@ -21,10 +21,37 @@ from . import manifest
 from .decode import make_decode_fn, prune_entries
 from .encode import make_encode_fn
 
-__all__ = ["write_table", "read_table", "compact", "verify_roundtrip"]
+__all__ = ["write_table", "read_table", "compact", "verify_roundtrip",
+           "validate_schema", "TRANSCRIPT_DDL"]
 
 DEFAULT_ROWS_PER_CHUNK = 262_144
 DEFAULT_SALT_BLOCK = 65_536
+
+
+TRANSCRIPT_DDL = ("conv_id string, turn_idx int, role string, "
+                  "text string, tool string, ts timestamp")
+
+
+def validate_schema(df: DataFrame, ddl: str = TRANSCRIPT_DDL) -> None:
+    """Assert the DataFrame matches the declared contract (H1 parity:
+    the reference validates schema trees before writing,
+    ⟨ref⟩ schema/*.go). Raises ValueError listing every mismatch."""
+    from pyspark.sql.types import _parse_datatype_string
+
+    want = {f.name: f.dataType.simpleString()
+            for f in _parse_datatype_string(ddl).fields}
+    have = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    problems = []
+    for name, t in want.items():
+        if name not in have:
+            problems.append(f"missing column {name!r} ({t})")
+        elif have[name] != t:
+            problems.append(f"column {name!r}: expected {t}, got {have[name]}")
+    extra = set(have) - set(want)
+    if extra:
+        problems.append(f"unexpected columns: {sorted(extra)}")
+    if problems:
+        raise ValueError("schema contract violation: " + "; ".join(problems))
 
 
 def write_table(

@@ -280,3 +280,25 @@ def test_schema_evolution_null_fills_old_chunks(spark, tmp_path):
     assert back.count() == n1 + n2
     assert back.filter(F.col("model").isNull()).count() == n1
     assert back.filter(F.col("model") == "m-1").count() == n2
+
+
+def test_validate_schema(spark, transcripts):
+    table.validate_schema(transcripts)  # contract shape passes
+    with pytest.raises(ValueError, match="missing column 'ts'"):
+        table.validate_schema(transcripts.drop("ts"))
+    with pytest.raises(ValueError, match="expected int"):
+        import pyspark.sql.functions as F
+
+        table.validate_schema(
+            transcripts.withColumn("turn_idx", F.col("turn_idx").cast("long"))
+        )
+
+
+def test_write_empty_dataframe(spark, transcripts, tmp_path):
+    out = str(tmp_path / "tbl")
+    empty = transcripts.filter("1 = 0")
+    info = table.write_table(empty, out, num_chunks=2)
+    assert info["n_rows"] == 0 and info["n_chunks"] == 0
+    back = table.read_table(spark, out)
+    assert back.count() == 0
+    assert back.columns == transcripts.columns
