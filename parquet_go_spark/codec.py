@@ -73,7 +73,6 @@ _ENTROPY_NAMES = {v: k for k, v in ENTROPIES.items()}
 # unaffected (zstd decompression is level-independent)
 ZSTD_LEVEL = 9
 _zstd = pa.Codec("zstd", compression_level=ZSTD_LEVEL)
-_zstd_any = pa.Codec("zstd")  # decompress accepts any level
 
 
 def _dtype_code(t: pa.DataType) -> int:
@@ -125,8 +124,6 @@ _NUMPY_TYPES = {
     _DT_F64: np.float64, _DT_TS_UTC: np.int64, _DT_TS_NAIVE: np.int64,
     _DT_DATE32: np.int32, _DT_INT16: np.int16, _DT_INT8: np.int8,
 }
-_INT_LIKE = {_DT_INT32, _DT_INT64, _DT_TS_UTC, _DT_TS_NAIVE, _DT_DATE32,
-             _DT_INT16, _DT_INT8}
 
 
 def _num_values(arr: pa.Array) -> np.ndarray:

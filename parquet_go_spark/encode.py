@@ -30,7 +30,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 from . import manifest
-from .codec import blob_info, decode_array, encode_array
+from .codec import encode_array
 from .plan import choose_codec, profile_array
 
 __all__ = ["make_encode_fn", "CHUNK_FILE_SCHEMA"]
