@@ -182,3 +182,24 @@ def test_selector_handles_binary_and_decimal():
     assert codec in ("dict", "plain")
     d = pa.array([Decimal("1.5")] * 5, pa.decimal128(5, 2))
     assert choose_codec(profile_array(d, "d")) == ("plain", "zstd")
+
+
+def test_zlib_entropy_stage():
+    import numpy as np
+    import pyarrow as pa
+
+    arr = pa.array(np.arange(5000, dtype=np.int64) % 97)
+    blob = encode_array(arr, "for", "zlib")
+    assert decode_array(blob).equals(arr)
+
+
+def test_date32_roundtrip():
+    import datetime
+
+    import pyarrow as pa
+
+    d0 = datetime.date(2025, 1, 1)
+    arr = pa.array([d0 + datetime.timedelta(days=i) for i in range(300)],
+                   pa.date32())
+    for codec in ("plain", "delta", "for", "dict"):
+        assert decode_array(encode_array(arr, codec, "none")).equals(arr), codec
