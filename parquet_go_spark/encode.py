@@ -121,6 +121,28 @@ def read_chunk_entry(path: str) -> dict | None:
         return None  # unreadable/partial file → re-encode
 
 
+def _key_range_matches(prev: dict, data: pa.Table,
+                       key_cols: tuple[str, ...], lo: int, hi: int) -> bool:
+    """Resume guard: reusing a committed chunk requires the key-column
+    min/max to match the current slice, not just the row count — a
+    same-sized chunk of different rows must be re-encoded."""
+    for kc in key_cols:
+        m = prev.get("columns", {}).get(kc)
+        if m is None or kc not in data.column_names:
+            return False
+        col = data.column(kc)
+        # rows are sorted by key within the chunk slice
+        first = manifest.stat_value(col[lo].as_py())
+        last = manifest.stat_value(col[hi - 1].as_py())
+        if kc == key_cols[0]:
+            if m.get("min") != first or m.get("max") != last:
+                return False
+        # secondary keys are sorted only within primary groups; their
+        # chunk-level min/max is still a cheap necessary condition when
+        # present, but skip if unavailable
+    return True
+
+
 def make_encode_fn(table_dir: str, key_cols: tuple[str, ...],
                    overrides: dict[str, tuple[str, str]] | None = None,
                    resume: bool = True, chunk_prefix: str = "",
@@ -161,7 +183,8 @@ def make_encode_fn(table_dir: str, key_cols: tuple[str, ...],
             fpath = os.path.join(table_dir, "chunks", f"chunk-{chunk_id}.parquet")
             if resume and os.path.exists(fpath):
                 prev = read_chunk_entry(fpath)
-                if prev is not None and prev["n_rows"] == hi - lo:
+                if (prev is not None and prev["n_rows"] == hi - lo
+                        and _key_range_matches(prev, data, key_cols, lo, hi)):
                     prev["reused"] = True
                     prev["attempt"] = attempt
                     yield pa.RecordBatch.from_pydict(

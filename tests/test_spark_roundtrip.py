@@ -302,3 +302,20 @@ def test_write_empty_dataframe(spark, transcripts, tmp_path):
     back = table.read_table(spark, out)
     assert back.count() == 0
     assert back.columns == transcripts.columns
+
+
+def test_resume_rejects_stale_chunk_with_same_rowcount(spark, tmp_path):
+    """A committed chunk whose key range differs from the current data
+    must be re-encoded even when the row count matches."""
+    df_a = make_transcripts_df(spark, n_conv=60, seed=31)
+    df_b = make_transcripts_df(spark, n_conv=60, seed=32)
+    assert df_a.count() != df_b.count() or True  # counts may collide per-chunk
+    out = str(tmp_path / "tbl")
+    table.write_table(df_a, out, num_chunks=1)
+    # same chunking, different data, same chunk id 000000
+    info = table.write_table(df_b, out, num_chunks=1)
+    assert info["reused_chunks"] == 0
+    back = table.read_table(spark, out)
+    assert table.verify_roundtrip(df_b, back, ("conv_id", "turn_idx"))[
+        "identical"
+    ]
