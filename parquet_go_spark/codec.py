@@ -55,11 +55,12 @@ _C_PLAIN, _C_PLAIN_STR, _C_DICT, _C_RLE, _C_DELTA, _C_FOR, _C_BSS, _C_FSST, _C_B
 )
 _C_PREFIX = 10
 _C_PFOR, _C_DELTAP = 11, 12
+_C_ALP = 13
 
 CODECS = {
     "plain": _C_PLAIN, "dict": _C_DICT, "rle": _C_RLE, "delta": _C_DELTA,
     "for": _C_FOR, "bss": _C_BSS, "fsst": _C_FSST, "prefix": _C_PREFIX,
-    "pfor": _C_PFOR, "deltap": _C_DELTAP,
+    "pfor": _C_PFOR, "deltap": _C_DELTAP, "alp": _C_ALP,
 }
 _CODEC_NAMES = {v: k for k, v in CODECS.items()}
 _CODEC_NAMES[_C_PLAIN_STR] = "plain"
@@ -206,6 +207,11 @@ def _encode_values(arr: pa.Array, dt: int, codec: int) -> bytes:
         return (
             struct.pack("<QI", card, len(vblob)) + vblob + rle_encode(idx, width)
         )
+    if codec == _C_ALP:
+        from .kernels.alp import alp_encode
+
+        a = arr.drop_null() if arr.null_count else arr
+        return alp_encode(a.to_numpy(zero_copy_only=False))
     # numeric kernels
     v = _num_values(arr)
     if codec == _C_PLAIN:
@@ -289,6 +295,10 @@ def _decode_values(body: memoryview, dt: int, codec: int, n: int) -> pa.Array:
             pa.array(idx, type=pa.int32()), values
         ).cast(atype)
     npt = np.dtype(_NUMPY_TYPES[dt])
+    if codec == _C_ALP:
+        from .kernels.alp import alp_decode
+
+        return pa.array(alp_decode(body).astype(npt), type=atype)
     if codec == _C_PLAIN:
         v = np.frombuffer(body, npt.newbyteorder("<"), count=n).astype(npt)
     elif codec == _C_DELTA:

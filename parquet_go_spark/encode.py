@@ -68,6 +68,17 @@ def _encode_one_column(arr: pa.Array, name: str,
         alt = encode_array(arr, sibling, entropy)
         if len(alt) < len(blob):
             blob, codec = alt, sibling
+    # decimal-float upgrade (ALP): doubles that are decimals in
+    # disguise become scaled ints + PFOR — usually far smaller than
+    # byte-stream-split + zstd
+    if override is None and codec == "bss" and st.arrow_type == "double":
+        from .kernels.alp import alp_probe
+
+        a = arr.drop_null() if arr.null_count else arr
+        if alp_probe(a.to_numpy(zero_copy_only=False)) is not None:
+            alt = encode_array(arr, "alp", "none")
+            if len(alt) < len(blob):
+                blob, codec, entropy = alt, "alp", "none"
     # dictionary/codec fallback guard (parquet-go dict-page fallback parity):
     # if the chosen encoding did not beat raw bytes, drop to plain+zstd.
     if override is None and len(blob) > arr.nbytes:

@@ -203,3 +203,45 @@ def test_date32_roundtrip():
                    pa.date32())
     for codec in ("plain", "delta", "for", "dict"):
         assert decode_array(encode_array(arr, codec, "none")).equals(arr), codec
+
+
+def test_alp_decimal_doubles():
+    import numpy as np
+    import pyarrow as pa
+
+    from parquet_go_spark.kernels.alp import alp_decode, alp_encode, alp_probe
+
+    prices = np.round(np.random.default_rng(0).uniform(1, 9e4, 5000), 2)
+    assert alp_probe(prices) == 2
+    out = alp_decode(alp_encode(prices))
+    assert np.array_equal(out, prices)  # bit-exact
+    arr = pa.array(prices, pa.float64())
+    blob = encode_array(arr, "alp", "none")
+    assert decode_array(blob).equals(arr)
+    assert len(blob) < len(encode_array(arr, "bss", "zstd"))
+
+
+def test_alp_probe_rejects_non_decimal():
+    import numpy as np
+
+    from parquet_go_spark.kernels.alp import alp_probe
+
+    rng = np.random.default_rng(1)
+    assert alp_probe(rng.standard_normal(100)) is None
+    assert alp_probe(np.array([1.5, np.nan])) is None
+    assert alp_probe(np.array([np.inf])) is None
+    assert alp_probe(np.array([-0.0, 1.0])) is None
+    assert alp_probe(np.array([], dtype=np.float64)) == 0
+
+
+def test_alp_upgrade_in_encode_path():
+    import numpy as np
+    import pyarrow as pa
+
+    from parquet_go_spark.encode import _encode_one_column
+
+    prices = pa.array(np.round(
+        np.random.default_rng(2).uniform(1, 1e5, 20000), 2))
+    blob, meta = _encode_one_column(prices, "price", None)
+    assert meta["codec"] == "alp"
+    assert decode_array(blob).equals(prices)
