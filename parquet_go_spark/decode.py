@@ -48,6 +48,7 @@ def prune_entries(entries: list[dict], column_predicates: dict | None):
             m = e["columns"].get(col)
             if m is None:
                 continue
+            comparable = False
             if m.get("min") is not None and m.get("max") is not None:
                 try:
                     if (hi is not None and m["min"] > hi) or (
@@ -55,9 +56,13 @@ def prune_entries(entries: list[dict], column_predicates: dict | None):
                     ):
                         skip = True
                         break
+                    comparable = True
                 except TypeError:
                     pass
-            if point is not None and m.get("bloom"):
+            # a bloom MISS is only trusted when the probe's type proved
+            # comparable with the column's stats — a mistyped probe
+            # (str vs int column) must stay conservative, not skip
+            if point is not None and m.get("bloom") and comparable:
                 from .kernels.bloom import bloom_contains
 
                 if not bloom_contains(m["bloom"], point):
@@ -83,7 +88,15 @@ def make_decode_fn(columns: list[str], verify_crc: bool = True,
 
     ``column_types`` {name: arrow type} enables schema evolution: a
     column absent from a chunk (encoded before the column was added)
-    decodes as nulls of the declared type instead of erroring."""
+    decodes as nulls of the declared type instead of erroring.
+
+    If the input batches carry ``chunk_id``/``data_crc``/``enc_bytes``
+    columns (read_table sends the manifest's expectations along with
+    each file path — no driver-side dict, scales to any chunk count),
+    the file's embedded manifest entry is checked against them before
+    decoding: a chunk file rewritten in place after the snapshot was
+    taken (compaction GC, un-prefixed rewrite) fails loudly instead of
+    silently decoding the NEW data under a historical snapshot."""
     filter_cols = list(row_filter or {})
     fetch_cols = list(dict.fromkeys(filter_cols + columns))
     column_types = column_types or {}
@@ -102,12 +115,38 @@ def make_decode_fn(columns: list[str], verify_crc: bool = True,
                 raise IOError(f"CRC mismatch for {name} in {fpath}")
         return decode_array(blob)
 
+    def _verify_embedded_entry(t: pa.Table, fpath: str, expect: dict) -> None:
+        import json
+
+        meta = t.schema.metadata or {}
+        raw = meta.get(b"pgs_manifest_entry")
+        emb = json.loads(raw) if raw else {}
+        for k, want in expect.items():
+            if want is None:
+                continue
+            if emb.get(k) != want:
+                raise IOError(
+                    f"chunk file {fpath} does not match its manifest entry "
+                    f"({k}: file has {emb.get(k)!r}, snapshot expects "
+                    f"{want!r}) — the file was rewritten after this "
+                    f"snapshot was taken"
+                )
+
     def decode_partition(batches):
         import pyarrow.compute as pc
 
         for b in batches:
-            for fpath in b.column("file").to_pylist():
+            names = set(b.schema.names)
+            expect_cols = [c for c in ("chunk_id", "data_crc", "enc_bytes")
+                           if c in names]
+            for row in range(b.num_rows):
+                fpath = b.column("file")[row].as_py()
                 t = pq.read_table(fpath)
+                if expect_cols:
+                    _verify_embedded_entry(
+                        t, fpath,
+                        {c: b.column(c)[row].as_py() for c in expect_cols},
+                    )
                 by_col = {
                     t.column("column")[i].as_py(): i for i in range(t.num_rows)
                 }

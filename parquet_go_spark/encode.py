@@ -30,7 +30,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 from . import manifest
-from .codec import encode_array
+from .codec import content_crc, encode_array
 from .plan import choose_codec, profile_array
 
 __all__ = ["make_encode_fn", "CHUNK_FILE_SCHEMA"]
@@ -102,7 +102,7 @@ def _encode_one_column(arr: pa.Array, name: str,
         from .kernels.bloom import bloom_build
 
         meta["bloom"] = bloom_build(
-            pc.unique(arr.drop_null() if arr.null_count else arr).to_pylist()
+            pc.unique(arr.drop_null() if arr.null_count else arr)
         )
     return blob, meta
 
@@ -132,26 +132,38 @@ def read_chunk_entry(path: str) -> dict | None:
         return None  # unreadable/partial file → re-encode
 
 
-def _key_range_matches(prev: dict, data: pa.Table,
-                       key_cols: tuple[str, ...], lo: int, hi: int) -> bool:
-    """Resume guard: reusing a committed chunk requires the key-column
-    min/max to match the current slice, not just the row count — a
-    same-sized chunk of different rows must be re-encoded."""
-    for kc in key_cols:
-        m = prev.get("columns", {}).get(kc)
-        if m is None or kc not in data.column_names:
-            return False
-        col = data.column(kc)
+def chunk_content_crc(chunk: pa.Table) -> int:
+    """Chunk-level content fingerprint: CRC32 chained over every
+    column's canonical bytes in sorted-name order. Stored in the
+    manifest entry (``data_crc``) and compared (a) before reusing a
+    committed chunk on resume and (b) against the file-embedded entry
+    when decoding a historical snapshot (time-travel integrity)."""
+    crc = 0
+    for name in sorted(chunk.column_names):
+        crc = zlib.crc32(name.encode(), crc)
+        crc = content_crc(chunk.column(name).combine_chunks(), crc)
+    return crc
+
+
+def _chunk_matches(prev: dict, chunk: pa.Table,
+                   key_cols: tuple[str, ...]) -> bool:
+    """Resume guard: a committed chunk is reused only when its stored
+    content fingerprint matches the current slice — row count or
+    key-range equality alone would silently serve stale data after a
+    rewrite that changed non-key values. The key-range min/max check
+    runs first as an O(1) negative screen; the CRC pass is
+    memcpy-speed, ~100x cheaper than re-encoding."""
+    if prev.get("data_crc") is None:
+        return False  # pre-0.2 entry: no fingerprint → re-encode
+    kc = key_cols[0]
+    m = prev.get("columns", {}).get(kc)
+    if m is not None and kc in chunk.column_names and chunk.num_rows:
+        col = chunk.column(kc)
         # rows are sorted by key within the chunk slice
-        first = manifest.stat_value(col[lo].as_py())
-        last = manifest.stat_value(col[hi - 1].as_py())
-        if kc == key_cols[0]:
-            if m.get("min") != first or m.get("max") != last:
-                return False
-        # secondary keys are sorted only within primary groups; their
-        # chunk-level min/max is still a cheap necessary condition when
-        # present, but skip if unavailable
-    return True
+        if (m.get("min") != manifest.stat_value(col[0].as_py())
+                or m.get("max") != manifest.stat_value(col[-1].as_py())):
+            return False
+    return prev["data_crc"] == chunk_content_crc(chunk)
 
 
 def make_encode_fn(table_dir: str, key_cols: tuple[str, ...],
@@ -192,10 +204,11 @@ def make_encode_fn(table_dir: str, key_cols: tuple[str, ...],
             lo, hi = int(starts[i]), int(starts[i + 1])
             chunk_id = f"{chunk_prefix}{int(ck[lo]):06d}"
             fpath = os.path.join(table_dir, "chunks", f"chunk-{chunk_id}.parquet")
+            chunk = data.slice(lo, hi - lo)
             if resume and os.path.exists(fpath):
                 prev = read_chunk_entry(fpath)
                 if (prev is not None and prev["n_rows"] == hi - lo
-                        and _key_range_matches(prev, data, key_cols, lo, hi)):
+                        and _chunk_matches(prev, chunk, key_cols)):
                     prev["reused"] = True
                     prev["attempt"] = attempt
                     yield pa.RecordBatch.from_pydict(
@@ -203,7 +216,6 @@ def make_encode_fn(table_dir: str, key_cols: tuple[str, ...],
                     )
                     continue
             t0 = time.time()
-            chunk = data.slice(lo, hi - lo)
             rows, columns_meta = [], {}
             for name in chunk.column_names:
                 arr = chunk.column(name).combine_chunks()
@@ -228,6 +240,7 @@ def make_encode_fn(table_dir: str, key_cols: tuple[str, ...],
                 "chunk_id": chunk_id,
                 "file": os.path.join("chunks", f"chunk-{chunk_id}.parquet"),
                 "n_rows": hi - lo,
+                "data_crc": chunk_content_crc(chunk),
                 "sort_order": list(key_cols),
                 "columns": columns_meta,
                 "raw_bytes": sum(m["raw_bytes"] for m in columns_meta.values()),

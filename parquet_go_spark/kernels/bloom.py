@@ -7,14 +7,20 @@ O(cardinality), and the double-hashing scheme h1 + i*h2 is the standard
 Kirsch–Mitzenmacher construction). 4 KiB / 4 hashes → <1% false
 positives up to ~3.4k distinct values per chunk.
 
-Values are canonicalized as ``str(value).encode()`` on both build and
-probe, so any primitive column type works symmetrically.
+Build is vectorized (no per-value Python in the encode hot path):
+integer-like values hash through a numpy splitmix64 finalizer, strings
+and bytes through pandas' C siphash (``pd.util.hash_array`` with two
+fixed keys). Canonicalization is type-aware so a probe whose Python
+type differs from the stored values (1000 vs 1000.0, bool vs int,
+datetime object vs timestamp column) still lands in the same domain —
+a false negative here would wrongly *skip* a chunk, which unlike a
+false positive is a correctness bug.
 """
 
 from __future__ import annotations
 
 import base64
-import hashlib
+import datetime
 
 import numpy as np
 
@@ -22,27 +28,133 @@ __all__ = ["bloom_build", "bloom_contains", "BLOOM_BITS", "BLOOM_K"]
 
 BLOOM_BITS = 1 << 15  # 4 KiB bitset
 BLOOM_K = 4
+_MASK = np.uint64(BLOOM_BITS - 1)
+
+# fixed 16-byte keys for the two independent string hashes
+_KEY1 = "pgs-bloom-hash-1"
+_KEY2 = "pgs-bloom-hash-2"
+_C1 = np.uint64(0x9E3779B97F4A7C15)
+_C2 = np.uint64(0x3C6EF372FE94F82A)
 
 
-def _hash_pair(value) -> tuple[int, int]:
-    d = hashlib.blake2b(str(value).encode(), digest_size=16).digest()
-    return (int.from_bytes(d[:8], "little"),
-            int.from_bytes(d[8:], "little") | 1)  # odd stride
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer (public-domain constants), wrap-safe uint64."""
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return x ^ (x >> np.uint64(31))
+
+
+def _int_hashes(ints: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    u = ints.astype(np.int64, copy=False).view(np.uint64)
+    return _mix64(u + _C1), _mix64(u + _C2) | np.uint64(1)
+
+
+def _str_hashes(objs: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    import pandas as pd
+
+    h1 = pd.util.hash_array(objs, hash_key=_KEY1, categorize=False)
+    h2 = pd.util.hash_array(objs, hash_key=_KEY2, categorize=False)
+    return h1.astype(np.uint64), h2.astype(np.uint64) | np.uint64(1)
+
+
+_I64_MIN, _I64_MAX = -(1 << 63), (1 << 63) - 1
+
+
+def _canon_scalar(v):
+    """Scalar → ('i', int) | ('s', str|bytes) | None (unhashable)."""
+    if v is None:
+        return None
+    if isinstance(v, (bool, np.bool_)):
+        return ("i", int(v))
+    if isinstance(v, (int, np.integer)):
+        return ("i", int(v)) if _I64_MIN <= int(v) <= _I64_MAX else ("s", str(v))
+    if isinstance(v, (float, np.floating)):
+        f = float(v)
+        if f.is_integer() and _I64_MIN <= f <= _I64_MAX:
+            return ("i", int(f))
+        return ("s", repr(f))
+    if isinstance(v, (str, bytes)):
+        return ("s", v)
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return ("s", v.isoformat())
+    return ("s", str(v))
+
+
+def _array_hashes(arr) -> tuple[np.ndarray, np.ndarray]:
+    """Hashes for a pyarrow Array of distinct non-null values.
+
+    Integer/bool/string/binary columns (the realistic bloom key types)
+    take fully vectorized paths; floats split integral/non-integral to
+    match the scalar canonicalization; anything else falls back to a
+    per-value canonicalize (rare, bounded by chunk cardinality)."""
+    import pyarrow as pa
+
+    t = arr.type
+    if pa.types.is_integer(t):
+        v = arr.to_numpy(zero_copy_only=False).astype(np.int64)
+        return _int_hashes(v)
+    if pa.types.is_boolean(t):
+        v = arr.to_numpy(zero_copy_only=False).astype(np.int64)
+        return _int_hashes(v)
+    if (pa.types.is_string(t) or pa.types.is_large_string(t)
+            or pa.types.is_binary(t) or pa.types.is_large_binary(t)):
+        objs = np.asarray(arr.to_pylist(), dtype=object)
+        return _str_hashes(objs)
+    if pa.types.is_floating(t):
+        v = arr.to_numpy(zero_copy_only=False).astype(np.float64)
+        integral = np.isfinite(v) & (v == np.floor(v)) \
+            & (v >= _I64_MIN) & (v <= _I64_MAX)
+        i1, i2 = _int_hashes(v[integral].astype(np.int64))
+        rest = v[~integral]
+        if len(rest):
+            s1, s2 = _str_hashes(
+                np.asarray([repr(float(x)) for x in rest], dtype=object)
+            )
+            return np.concatenate([i1, s1]), np.concatenate([i2, s2])
+        return i1, i2
+    # fallback: canonicalize per value (timestamps → ISO strings, etc.)
+    ints, objs = [], []
+    for v in arr.to_pylist():
+        c = _canon_scalar(v)
+        if c is None:
+            continue
+        (ints if c[0] == "i" else objs).append(c[1])
+    i1, i2 = _int_hashes(np.asarray(ints, dtype=np.int64))
+    if objs:
+        s1, s2 = _str_hashes(np.asarray(objs, dtype=object))
+        return np.concatenate([i1, s1]), np.concatenate([i2, s2])
+    return i1, i2
 
 
 def bloom_build(values) -> str:
-    """Build from an iterable of (distinct) values → base64 bitset."""
+    """Build from a pyarrow Array (preferred, vectorized) or any
+    iterable of distinct values → base64 bitset."""
+    import pyarrow as pa
+
+    if not isinstance(values, (pa.Array, pa.ChunkedArray)):
+        values = pa.array(list(values))
+    if isinstance(values, pa.ChunkedArray):
+        values = values.combine_chunks()
+    if values.null_count:
+        values = values.drop_null()
     bits = np.zeros(BLOOM_BITS, dtype=bool)
-    for v in values:
-        h1, h2 = _hash_pair(v)
+    if len(values):
+        h1, h2 = _array_hashes(values)
         for i in range(BLOOM_K):
-            bits[(h1 + i * h2) % BLOOM_BITS] = True
+            bits[(h1 + np.uint64(i) * h2) & _MASK] = True
     return base64.b64encode(np.packbits(bits).tobytes()).decode()
 
 
 def bloom_contains(blob_b64: str, value) -> bool:
+    c = _canon_scalar(value)
+    if c is None:
+        return True  # can't canonicalize → never skip on bloom
+    if c[0] == "i":
+        h1, h2 = _int_hashes(np.asarray([c[1]], dtype=np.int64))
+    else:
+        h1, h2 = _str_hashes(np.asarray([c[1]], dtype=object))
     bits = np.unpackbits(
         np.frombuffer(base64.b64decode(blob_b64), np.uint8)
     ).astype(bool)
-    h1, h2 = _hash_pair(value)
-    return all(bits[(h1 + i * h2) % BLOOM_BITS] for i in range(BLOOM_K))
+    idx = (h1[0] + np.arange(BLOOM_K, dtype=np.uint64) * h2[0]) & _MASK
+    return bool(bits[idx.astype(np.int64)].all())

@@ -24,7 +24,7 @@ from typing import Any
 
 __all__ = ["commit", "load", "list_chunk_files", "stat_value", "ENGINE_VERSION"]
 
-ENGINE_VERSION = "parquet_go_spark-0.1.0"
+ENGINE_VERSION = "parquet_go_spark-0.2.0"
 
 
 def stat_value(v: Any):

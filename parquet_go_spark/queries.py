@@ -405,3 +405,17 @@ def q_resume_from_manifest(spark, sf_dir):
         [(info2["n_chunks"], info2["reused_chunks"])],
         "n_chunks long, reused_chunks long",
     )
+
+
+def q_resume_stale_values(spark, sf_dir):
+    """Resume must NOT reuse a chunk whose non-key values changed: same
+    keys, same row counts, but l_quantity shifted by +100 — the
+    content-fingerprint guard (entry.data_crc) re-encodes every chunk,
+    and the decoded table equals the NEW data bit-exactly."""
+    df = _lineitem(spark, sf_dir)
+    out = os.path.join(tempfile.mkdtemp(prefix="pgs_stale_"), "lineitem")
+    table.write_table(df, out, key_cols=LINEITEM_KEY, num_chunks=8)
+    df2 = df.withColumn("l_quantity", F.col("l_quantity") + F.lit(100.0))
+    info2 = table.write_table(df2, out, key_cols=LINEITEM_KEY, num_chunks=8)
+    assert info2["reused_chunks"] == 0, info2
+    return table.read_table(spark, out)

@@ -91,56 +91,13 @@ def write_table(
     re-encode case at scale — but note chunk ids then follow the scan's
     partition ordinals, so resume requires a stable input listing.
     """
-    if not shuffle:
-        staged = df.sortWithinPartitions(*key_cols)
-        encode_fn = make_encode_fn(table_dir, key_cols, overrides, resume,
-                                   chunk_prefix, bloom_cols)
-        entry_rows = staged.mapInArrow(encode_fn, "entry_json string").collect()
-        entries = [json.loads(r.entry_json) for r in entry_rows]
-        snapshot = manifest.commit(
-            table_dir, entries, schema_ddl=df.schema.json(),
-            extra={"mode": "locality", "key_cols": list(key_cols)},
-            append=append,
-        )
-        return {
-            "snapshot_id": snapshot,
-            "n_chunks": len(entries),
-            "n_rows": sum(e["n_rows"] for e in entries),
-            "raw_bytes": sum(e["raw_bytes"] for e in entries),
-            "enc_bytes": sum(e["enc_bytes"] for e in entries),
-            "reused_chunks": sum(1 for e in entries if e.get("reused")),
-        }
-
-    if num_chunks is None:
-        n = df.count()
-        num_chunks = max(1, math.ceil(n / rows_per_chunk))
-
-    if chunk_expr is not None:
-        ck = F.pmod(chunk_expr.cast("long"), F.lit(num_chunks))
-    else:
-        salt = (
-            F.floor(F.col(key_cols[1]) / F.lit(salt_block))
-            if len(key_cols) > 1
-            else F.lit(0)
-        )
-        ck = F.pmod(F.xxhash64(F.col(key_cols[0]), salt), F.lit(num_chunks))
-    staged = (
-        df.withColumn("_ck", ck)
-        .repartition(num_chunks, "_ck")
-        .sortWithinPartitions("_ck", *key_cols)
+    entries, extra = _encode_entries(
+        df, table_dir, key_cols, num_chunks, rows_per_chunk, salt_block,
+        overrides, resume, chunk_expr, chunk_prefix, bloom_cols, shuffle,
     )
-    encode_fn = make_encode_fn(table_dir, key_cols, overrides, resume,
-                               chunk_prefix, bloom_cols)
-    entry_rows = staged.mapInArrow(encode_fn, "entry_json string").collect()
-    entries = [json.loads(r.entry_json) for r in entry_rows]
-
     snapshot = manifest.commit(
-        table_dir,
-        entries,
-        schema_ddl=df.schema.json(),
-        extra={"num_chunks": num_chunks, "salt_block": salt_block,
-               "key_cols": list(key_cols)},
-        append=append,
+        table_dir, entries, schema_ddl=df.schema.json(),
+        extra=extra, append=append,
     )
     return {
         "snapshot_id": snapshot,
@@ -150,6 +107,54 @@ def write_table(
         "enc_bytes": sum(e["enc_bytes"] for e in entries),
         "reused_chunks": sum(1 for e in entries if e.get("reused")),
     }
+
+
+def _encode_entries(
+    df: DataFrame,
+    table_dir: str,
+    key_cols: tuple[str, ...],
+    num_chunks: int | None,
+    rows_per_chunk: int,
+    salt_block: int,
+    overrides: dict | None,
+    resume: bool,
+    chunk_expr,
+    chunk_prefix: str,
+    bloom_cols: tuple[str, ...],
+    shuffle: bool,
+) -> tuple[list[dict], dict]:
+    """Run the encode job (stage → mapInArrow → collect entry rows)
+    WITHOUT committing — write_table commits the result; compact()
+    merges it with the surviving entries into ONE atomic commit (a
+    crash mid-compaction must never expose a snapshot with both the
+    small chunks and their re-encoded copies)."""
+    if not shuffle:
+        staged = df.sortWithinPartitions(*key_cols)
+        extra = {"mode": "locality", "key_cols": list(key_cols)}
+    else:
+        if num_chunks is None:
+            n = df.count()
+            num_chunks = max(1, math.ceil(n / rows_per_chunk))
+        if chunk_expr is not None:
+            ck = F.pmod(chunk_expr.cast("long"), F.lit(num_chunks))
+        else:
+            salt = (
+                F.floor(F.col(key_cols[1]) / F.lit(salt_block))
+                if len(key_cols) > 1
+                else F.lit(0)
+            )
+            ck = F.pmod(F.xxhash64(F.col(key_cols[0]), salt), F.lit(num_chunks))
+        staged = (
+            df.withColumn("_ck", ck)
+            .repartition(num_chunks, "_ck")
+            .sortWithinPartitions("_ck", *key_cols)
+        )
+        extra = {"num_chunks": num_chunks, "salt_block": salt_block,
+                 "key_cols": list(key_cols)}
+    encode_fn = make_encode_fn(table_dir, key_cols, overrides, resume,
+                               chunk_prefix, bloom_cols)
+    entry_rows = staged.mapInArrow(encode_fn, "entry_json string").collect()
+    return [json.loads(r.entry_json) for r in entry_rows], extra
 
 
 def read_table(
@@ -199,10 +204,26 @@ def read_table(
         return spark.createDataFrame([], sub_schema)
     import os
 
-    files = [os.path.join(table_dir, e["file"]) for e in entries]
-    par = parallelism or min(len(files), spark.sparkContext.defaultParallelism)
+    # expectation columns travel WITH each file path (no driver-side
+    # dict in the closure): the decoder checks the file's embedded
+    # entry against the snapshot's, so a chunk file rewritten in place
+    # after this snapshot fails loudly instead of silently decoding
+    # newer data (time-travel integrity).
+    files_pdf = pd.DataFrame(
+        {
+            "file": [os.path.join(table_dir, e["file"]) for e in entries],
+            "chunk_id": [e["chunk_id"] for e in entries],
+            "data_crc": pd.array([e.get("data_crc") for e in entries],
+                                 dtype="Int64"),
+            "enc_bytes": pd.array([e.get("enc_bytes") for e in entries],
+                                  dtype="Int64"),
+        }
+    )
+    par = parallelism or min(len(entries),
+                             spark.sparkContext.defaultParallelism)
     files_df = spark.createDataFrame(
-        pd.DataFrame({"file": files}), "file string"
+        files_pdf,
+        "file string, chunk_id string, data_crc long, enc_bytes long",
     ).repartition(par)
     if push_row_filter and predicates:
         from .decode import normalize_predicate
@@ -234,8 +255,10 @@ def compact(
     """Merge small chunks into full-size ones (Iceberg
     rewrite-data-files parity). Streaming ingestion leaves one chunk
     set per micro-batch; compaction decodes the small ones, re-encodes
-    them under a fresh chunk namespace, commits a snapshot without the
-    superseded entries, and deletes the orphaned files.
+    them under a fresh chunk namespace, and commits keep + new minus
+    superseded in ONE snapshot — a crash before the commit leaves the
+    table exactly as it was (the orphaned new files are overwritten by
+    the retry), never an intermediate snapshot with duplicate rows.
 
     At scale this is a normal Spark job over only the small chunks —
     the large ones are untouched (no read amplification)."""
@@ -252,27 +275,43 @@ def compact(
     key_cols = tuple(listing["extra"].get("key_cols")
                      or ["conv_id", "turn_idx"])
 
-    schema = StructType.fromJson(json.loads(listing["schema_ddl"]))
+    # all fields nullable: schema-evolution null-fills columns that
+    # predate a chunk (same forcing read_table applies)
+    schema = StructType(
+        [
+            StructField(f.name, f.dataType, nullable=True, metadata=f.metadata)
+            for f in StructType.fromJson(json.loads(listing["schema_ddl"])).fields
+        ]
+    )
     cols = [f.name for f in schema.fields]
     files = [os.path.join(table_dir, e["file"]) for e in small]
     par = min(len(files), spark.sparkContext.defaultParallelism)
     files_df = spark.createDataFrame(
         pd.DataFrame({"file": files}), "file string"
     ).repartition(par)
-    small_df = files_df.mapInArrow(make_decode_fn(cols), schema)
+    # same null-fill mapping read_table uses: small chunks written
+    # before a schema-evolution append may predate newer columns
+    try:
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        column_types = {f.name: f.type for f in to_arrow_schema(schema)}
+    except Exception:
+        column_types = {}
+    small_df = files_df.mapInArrow(
+        make_decode_fn(cols, column_types=column_types), schema
+    )
 
     prefix = f"c{listing['snapshot_id'] + 1:04d}-"
     n_small_rows = sum(e["n_rows"] for e in small)
-    info = write_table(
+    new_entries, _ = _encode_entries(
         small_df, table_dir, key_cols=key_cols,
         num_chunks=max(1, math.ceil(n_small_rows / rows_per_chunk)),
-        chunk_prefix=prefix, append=True, resume=False,
+        rows_per_chunk=rows_per_chunk, salt_block=DEFAULT_SALT_BLOCK,
+        overrides=None, resume=False, chunk_expr=None,
+        chunk_prefix=prefix, bloom_cols=(), shuffle=True,
     )
-    # drop the superseded entries in a follow-up snapshot, then GC files
-    latest = manifest.load(table_dir)
     small_ids = {e["chunk_id"] for e in small}
-    final_entries = [e for e in latest["entries"]
-                     if e["chunk_id"] not in small_ids]
+    final_entries = keep + new_entries
     snap = manifest.commit(
         table_dir, final_entries, schema_ddl=listing["schema_ddl"],
         extra={**listing["extra"], "compacted_from": sorted(small_ids)},
@@ -285,7 +324,7 @@ def compact(
     return {
         "snapshot_id": snap,
         "compacted_chunks": len(small),
-        "new_chunks": info["n_chunks"],
+        "new_chunks": len(new_entries),
         "n_chunks": len(final_entries),
         "n_rows": sum(e["n_rows"] for e in final_entries),
     }

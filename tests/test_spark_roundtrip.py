@@ -304,6 +304,84 @@ def test_write_empty_dataframe(spark, transcripts, tmp_path):
     assert back.columns == transcripts.columns
 
 
+def test_resume_rejects_stale_values_same_keys(spark, transcripts, tmp_path):
+    """Same keys, same row counts, changed NON-KEY values: the content
+    fingerprint (entry.data_crc) must force a re-encode — key-range
+    checks alone would silently serve the old text (VERDICT r1 #1)."""
+    import pyspark.sql.functions as F
+
+    out = str(tmp_path / "tbl")
+    table.write_table(transcripts, out, num_chunks=4)
+    fixed = transcripts.withColumn(
+        "text", F.concat(F.lit("corrected: "), F.col("text"))
+    )
+    info = table.write_table(fixed, out, num_chunks=4)  # resume=True default
+    assert info["reused_chunks"] == 0, info
+    back = table.read_table(spark, out)
+    assert table.verify_roundtrip(fixed, back, ("conv_id", "turn_idx"))[
+        "identical"
+    ]
+
+
+def test_time_travel_detects_rewritten_chunk(spark, transcripts, tmp_path):
+    """A historical snapshot whose chunk file was rewritten in place
+    (same id, no prefix) must fail loudly at decode, not silently
+    return the NEW data (ADVICE r1: per-chunk fingerprint verify)."""
+    out = str(tmp_path / "tbl")
+    table.write_table(transcripts.limit(200), out, num_chunks=2)
+    # un-prefixed rewrite: same chunk ids → files replaced in place
+    table.write_table(transcripts, out, num_chunks=2, resume=False)
+    with pytest.raises(Exception, match="rewritten after this snapshot"):
+        table.read_table(spark, out, snapshot_id=0).count()
+    # the current snapshot still decodes fine
+    assert table.read_table(spark, out).count() == transcripts.count()
+
+
+def test_compact_schema_evolved_table(spark, tmp_path):
+    """Compaction over a table whose old chunks predate a column must
+    null-fill (not KeyError) and stay single-commit atomic."""
+    import pyspark.sql.functions as F
+
+    df_v1 = make_transcripts_df(spark, n_conv=30, seed=21)
+    out = str(tmp_path / "tbl")
+    table.write_table(df_v1, out, num_chunks=3, chunk_prefix="v1-")
+    df_v2 = make_transcripts_df(spark, n_conv=20, seed=22).withColumn(
+        "model", F.lit("m-2")
+    )
+    table.write_table(df_v2, out, num_chunks=3, chunk_prefix="v2-",
+                      append=True)
+    before = manifest.load(out)
+    res = table.compact(spark, out, min_rows=1 << 20)
+    after = manifest.load(out)
+    # exactly ONE new snapshot: no intermediate duplicate-rows state
+    assert after["snapshot_id"] == before["snapshot_id"] + 1
+    assert res["compacted_chunks"] == before["n_chunks"]
+    assert after["n_rows"] == before["n_rows"]
+    back = table.read_table(spark, out)
+    assert back.count() == df_v1.count() + df_v2.count()
+    assert back.filter(F.col("model").isNull()).count() == df_v1.count()
+
+
+def test_bloom_type_canonicalization():
+    """A probe whose Python type differs from the stored values must
+    not produce a false negative (1000 vs 1000.0, bool vs int)."""
+    import pyarrow as pa
+
+    from parquet_go_spark.kernels.bloom import bloom_build, bloom_contains
+
+    b_int = bloom_build(pa.array([7, 1000, 123456789], pa.int64()))
+    assert bloom_contains(b_int, 1000)
+    assert bloom_contains(b_int, 1000.0)  # float probe, int column
+    assert not bloom_contains(b_int, 1001)
+    b_float = bloom_build(pa.array([1.5, 1000.0], pa.float64()))
+    assert bloom_contains(b_float, 1000)  # int probe, float column
+    assert bloom_contains(b_float, 1.5)
+    assert not bloom_contains(b_float, 2.5)
+    b_str = bloom_build(pa.array(["alpha", "beta"]))
+    assert bloom_contains(b_str, "alpha")
+    assert not bloom_contains(b_str, "gamma")
+
+
 def test_resume_rejects_stale_chunk_with_same_rowcount(spark, tmp_path):
     """A committed chunk whose key range differs from the current data
     must be re-encoded even when the row count matches."""
