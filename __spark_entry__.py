@@ -55,6 +55,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delta_roundtrip": Q.q_delta_roundtrip,
         "fsst_encode": Q.q_fsst_encode,
         "bss_roundtrip": Q.q_bss_roundtrip,
+        "prefix_roundtrip": Q.q_prefix_roundtrip,
+        "zlib_roundtrip": Q.q_zlib_roundtrip,
+        "nested_roundtrip": Q.q_nested_roundtrip,
+        "list_roundtrip": Q.q_list_roundtrip,
         # codec semantics / stats / selection
         "rle_runs": Q.q_rle_runs,
         "delta_encode": Q.q_delta_encode,
@@ -185,6 +189,21 @@ def oracle_sql() -> dict[str, str]:
         "fsst_encode": "SELECT doc_id, text FROM documents",
         "bss_roundtrip":
             "SELECT l_quantity, l_extendedprice, l_discount FROM lineitem",
+        "prefix_roundtrip": "SELECT c_custkey, c_name FROM customer",
+        "zlib_roundtrip":
+            "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders",
+        "nested_roundtrip": """
+            SELECT event_id, user_id AS meta_u, event_type AS meta_e,
+                   ts AS meta_t,
+                   CASE WHEN event_id % 7 = 0 THEN event_id END AS id2,
+                   user_id AS kv_uid
+            FROM events""",
+        "list_roundtrip": """
+            SELECT vec_id, CAST(label AS BIGINT) AS label,
+                   CAST(len(embedding) AS BIGINT) AS dim,
+                   CAST(embedding[1] AS DOUBLE) AS e0,
+                   CAST(embedding[64] AS DOUBLE) AS e63
+            FROM embeddings""",
         "rle_runs": """
             SELECT l_returnflag, CAST(sum(is_start) AS BIGINT) AS n_runs,
                    CAST(count(*) AS BIGINT) AS n_rows

@@ -48,6 +48,11 @@ _DT_INT32, _DT_INT64, _DT_F32, _DT_F64, _DT_STR, _DT_BOOL = 1, 2, 3, 4, 5, 6
 _DT_TS_UTC, _DT_TS_NAIVE, _DT_DATE32, _DT_INT16, _DT_INT8 = 7, 8, 9, 10, 11
 _DT_LIST_F32, _DT_LIST_F64 = 12, 13
 _DT_BIN, _DT_DEC128 = 14, 15
+# generic nested containers (SURVEY §2.5 L2, parquet.thrift:183-192):
+# offsets/validity at each level + recursive self-describing child blobs,
+# the Spark-side equivalent of Dremel def/rep levels
+_DT_LIST, _DT_STRUCT, _DT_MAP = 16, 17, 18
+_NESTED_DTS = (_DT_LIST, _DT_STRUCT, _DT_MAP)
 
 # codec codes
 _C_PLAIN, _C_PLAIN_STR, _C_DICT, _C_RLE, _C_DELTA, _C_FOR, _C_BSS, _C_FSST, _C_BOOL = (
@@ -109,6 +114,12 @@ def _dtype_code(t: pa.DataType) -> int:
         return _DT_BIN
     if pa.types.is_decimal128(t):
         return _DT_DEC128
+    if pa.types.is_map(t):
+        return _DT_MAP
+    if pa.types.is_struct(t):
+        return _DT_STRUCT
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return _DT_LIST
     raise TypeError(f"unsupported arrow type: {t}")
 
 
@@ -163,8 +174,133 @@ def _list_parts(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
     return np.diff(off), flat
 
 
+def _type_bytes(t: pa.DataType) -> bytes:
+    """Arrow IPC serialization of a type (field names and large/normal
+    list variants round-trip exactly)."""
+    return pa.schema([pa.field("c", t)]).serialize().to_pybytes()
+
+
+def _type_from_bytes(b) -> pa.DataType:
+    return pa.ipc.read_schema(pa.py_buffer(bytes(b))).field(0).type
+
+
+def _auto_encode(arr: pa.Array) -> bytes:
+    """Recursive child blob: auto-select the codec from the child's own
+    stats (a text field inside a struct still gets FSST+zstd)."""
+    from .plan import choose_codec, profile_array
+
+    c, e = choose_codec(profile_array(arr))
+    return encode_array(arr, c, e)
+
+
+def _offsets_lengths(a: pa.Array) -> np.ndarray:
+    """Per-slot lengths of a (null-free) list/map array. Maps carry
+    int32 offsets, large_list int64."""
+    if len(a) == 0:
+        return np.zeros(0, dtype=np.int64)
+    if pa.types.is_map(a.type):
+        off = np.frombuffer(a.buffers()[1], np.int32, len(a) + 1,
+                            offset=a.offset * 4).astype(np.int64)
+    else:
+        off = np.frombuffer(a.buffers()[1], np.int64, len(a) + 1,
+                            offset=a.offset * 8)
+    return np.diff(off)
+
+
+def _encode_nested(arr: pa.Array, dt: int) -> bytes:
+    """Generic nested containers: stored type + per-level offsets
+    (FOR-coded lengths) + recursive child blobs. Child values under a
+    null parent are dropped (Dremel-equivalent: they are logically
+    absent)."""
+    a = arr.drop_null() if arr.null_count else arr
+    tb = _type_bytes(arr.type)
+    head = struct.pack("<I", len(tb)) + tb
+    if dt == _DT_STRUCT:
+        children = a.flatten()
+        out = [head, struct.pack("<QH", len(a), len(children))]
+        for child in children:
+            blob = _auto_encode(child.combine_chunks()
+                                if isinstance(child, pa.ChunkedArray)
+                                else child)
+            out.append(struct.pack("<I", len(blob)))
+            out.append(blob)
+        return b"".join(out)
+    if dt == _DT_MAP:
+        off = (
+            np.frombuffer(a.buffers()[1], np.int32, len(a) + 1,
+                          offset=a.offset * 4).astype(np.int64)
+            if len(a)
+            else np.zeros(1, dtype=np.int64)
+        )
+        lengths = np.diff(off)
+        len_blob = for_encode(lengths)
+        # .keys/.items are the raw children — slice to the logical range
+        lo, hi = int(off[0]), int(off[-1])
+        kblob = _auto_encode(a.keys.slice(lo, hi - lo))
+        iblob = _auto_encode(a.items.slice(lo, hi - lo))
+        return (
+            head
+            + struct.pack("<QI", len(a), len(len_blob)) + len_blob
+            + struct.pack("<I", len(kblob)) + kblob
+            + iblob
+        )
+    # generic list<T>
+    al = a.cast(pa.large_list(a.type.value_field))
+    lengths = _offsets_lengths(al)
+    len_blob = for_encode(lengths)
+    child = al.flatten()
+    return (
+        head
+        + struct.pack("<QI", len(al), len(len_blob)) + len_blob
+        + _auto_encode(child)
+    )
+
+
+def _decode_nested(body: memoryview, dt: int, n: int) -> pa.Array:
+    (tlen,) = struct.unpack_from("<I", body, 0)
+    typ = _type_from_bytes(body[4 : 4 + tlen])
+    body = body[4 + tlen :]
+    if dt == _DT_STRUCT:
+        n_rows, n_children = struct.unpack_from("<QH", body, 0)
+        pos = 10
+        children = []
+        for _ in range(n_children):
+            (blen,) = struct.unpack_from("<I", body, pos)
+            children.append(decode_array(body[pos + 4 : pos + 4 + blen]))
+            pos += 4 + blen
+        fields = [typ.field(i) for i in range(typ.num_fields)]
+        if n_rows == 0:
+            return pa.array([], type=typ)
+        out = pa.StructArray.from_arrays(children, fields=fields)
+        return out.cast(typ)
+    if dt == _DT_MAP:
+        n_rows, len_blob_len = struct.unpack_from("<QI", body, 0)
+        lengths = for_decode(body[12 : 12 + len_blob_len])
+        pos = 12 + len_blob_len
+        (klen,) = struct.unpack_from("<I", body, pos)
+        keys = decode_array(body[pos + 4 : pos + 4 + klen])
+        items = decode_array(body[pos + 4 + klen :])
+        offsets = np.zeros(n_rows + 1, dtype=np.int32)
+        np.cumsum(lengths, out=offsets[1:])
+        out = pa.MapArray.from_arrays(
+            pa.array(offsets, type=pa.int32()), keys, items
+        )
+        return out.cast(typ)
+    n_rows, len_blob_len = struct.unpack_from("<QI", body, 0)
+    lengths = for_decode(body[12 : 12 + len_blob_len])
+    child = decode_array(body[12 + len_blob_len :])
+    offsets = np.zeros(n_rows + 1, dtype=np.int64)
+    np.cumsum(lengths, out=offsets[1:])
+    out = pa.LargeListArray.from_arrays(
+        pa.array(offsets, type=pa.int64()), child
+    )
+    return out.cast(typ)
+
+
 def _encode_values(arr: pa.Array, dt: int, codec: int) -> bytes:
     """Codec body over the non-null values of ``arr``."""
+    if dt in _NESTED_DTS:
+        return _encode_nested(arr, dt)
     if dt == _DT_DEC128:
         a = arr.drop_null() if arr.null_count else arr
         a = a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
@@ -244,6 +380,8 @@ def _encode_values(arr: pa.Array, dt: int, codec: int) -> bytes:
 
 
 def _decode_values(body: memoryview, dt: int, codec: int, n: int) -> pa.Array:
+    if dt in _NESTED_DTS:
+        return _decode_nested(body, dt, n)
     if dt == _DT_DEC128:
         precision, scale = struct.unpack_from("<BB", body, 0)
         buf = pa.py_buffer(bytes(body[2 : 2 + 16 * n]))
@@ -387,12 +525,12 @@ def decode_array(blob: bytes | memoryview) -> pa.Array:
     valid = rle_decode(mv[13 : 13 + mask_len]).astype(bool)
     vals = _decode_values(mv[13 + mask_len :], dt, cid, n_valid)
     if n_valid == 0:
-        return pa.nulls(n, _ARROW_TYPES[dt])
-    # re-expand with nulls: take(valid_rank or null) — vectorized in arrow
+        return pa.nulls(n, vals.type)
+    # re-expand with nulls: take with a null index yields a null slot —
+    # type-universal (works for nested struct/map/list too)
     idx = np.zeros(n, dtype=np.int64)
     idx[valid] = np.arange(n_valid)
-    taken = vals.take(pa.array(idx, type=pa.int64()))
-    return pc.if_else(pa.array(valid), taken, pa.nulls(n, vals.type))
+    return vals.take(pa.array(idx, type=pa.int64(), mask=~valid))
 
 
 def content_crc(arr: pa.Array, crc: int = 0) -> int:
@@ -419,6 +557,26 @@ def content_crc(arr: pa.Array, crc: int = 0) -> int:
         lengths, flat = _list_parts(arr)
         crc = zlib.crc32(np.ascontiguousarray(lengths), crc)
         return zlib.crc32(np.ascontiguousarray(flat), crc)
+    if dt in _NESTED_DTS:
+        a = arr.drop_null() if arr.null_count else arr
+        if dt == _DT_STRUCT:
+            for child in a.flatten():
+                crc = content_crc(child, crc)
+            return crc
+        if dt == _DT_MAP:
+            lengths = _offsets_lengths(a)
+            crc = zlib.crc32(np.ascontiguousarray(lengths), crc)
+            if len(a):
+                off = np.frombuffer(a.buffers()[1], np.int32, len(a) + 1,
+                                    offset=a.offset * 4).astype(np.int64)
+                lo, hi = int(off[0]), int(off[-1])
+                crc = content_crc(a.keys.slice(lo, hi - lo), crc)
+                crc = content_crc(a.items.slice(lo, hi - lo), crc)
+            return crc
+        al = a.cast(pa.large_list(a.type.value_field))
+        lengths = _offsets_lengths(al)
+        crc = zlib.crc32(np.ascontiguousarray(lengths), crc)
+        return content_crc(al.flatten(), crc)
     if dt in (_DT_STR, _DT_BIN):
         lengths, data = _str_parts(arr)
         crc = zlib.crc32(np.ascontiguousarray(lengths), crc)

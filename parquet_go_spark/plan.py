@@ -55,8 +55,9 @@ def profile_array(arr: pa.Array, name: str = "", sample: int = 65536) -> ColumnS
                      n_distinct=0)
     if n == 0:
         return st
-    if pa.types.is_list(t) or pa.types.is_large_list(t):
-        return st
+    if (pa.types.is_list(t) or pa.types.is_large_list(t)
+            or pa.types.is_struct(t) or pa.types.is_map(t)):
+        return st  # nested: offsets/children profiled recursively
     a = arr.drop_null() if nulls else arr
     # sample for the expensive stats on very large chunks
     s = a.slice(0, sample) if len(a) > sample else a
@@ -73,6 +74,21 @@ def profile_array(arr: pa.Array, name: str = "", sample: int = 65536) -> ColumnS
         sv = s.to_numpy(zero_copy_only=False)
         if len(sv) > 1:
             st.run_frac = 1.0 - float((sv[1:] != sv[:-1]).sum() + 1) / len(sv)
+            st.sorted_frac = float((sv[1:] >= sv[:-1]).mean())
+            if st.sorted_frac >= SORTED_FRAC_FOR_DELTA:
+                # front-coding probe: mean adjacent common-prefix length
+                # relative to avg string length (first 64 chars, small
+                # sub-sample — vectorized char-matrix compare)
+                sub = sv[: 4096]
+                m = np.array(sub, dtype="U64")
+                v = m.view(np.uint32).reshape(len(sub), -1)
+                neq = v[1:] != v[:-1]
+                pfx = np.where(neq.any(axis=1), neq.argmax(axis=1),
+                               v.shape[1])
+                if st.avg_len > 0:
+                    st.extras["prefix_frac"] = float(
+                        pfx.mean() / min(st.avg_len, 64.0)
+                    )
         return st
 
     if pa.types.is_binary(t) or pa.types.is_large_binary(t):
@@ -123,8 +139,19 @@ def choose_codec(st: ColumnStats) -> tuple[str, str]:
     if t == "bool":
         return "plain", "none"
 
-    if t.startswith("list") or t.startswith("large_list") or t.startswith("decimal"):
+    if t.startswith("decimal"):
         return "plain", "zstd"
+
+    if t.startswith(("struct", "map")):
+        # nested containers: child blobs auto-select their own codec +
+        # entropy; outer entropy would double-compress them
+        return "plain", "none"
+
+    if t.startswith(("list", "large_list")):
+        inner = t[t.index("<") + 1 : -1]
+        if "<" not in inner and inner.split(": ")[-1] in ("float", "double"):
+            return "plain", "zstd"  # flat float list fast path (BSS-style)
+        return "plain", "none"  # generic list<T>: recursive child blobs
 
     if t in ("binary", "large_binary"):
         if st.n_distinct <= DICT_MAX_CARD and distinct_ratio <= DICT_MAX_RATIO:
@@ -134,6 +161,14 @@ def choose_codec(st: ColumnStats) -> tuple[str, str]:
     if "string" in t:
         if st.n_distinct <= DICT_MAX_CARD and distinct_ratio <= DICT_MAX_RATIO:
             return "dict", "zstd"
+        # front-coding (DELTA_BYTE_ARRAY, E6) for sorted high-cardinality
+        # strings with strong shared prefixes — the sorted-conv_id shape.
+        # NOTE: codec_select's SQL oracle only mirrors the dict/fsst arms
+        # because lineitem's string columns are always dict-eligible;
+        # widen it if the oracle ever covers a sortable string column.
+        if (st.sorted_frac >= SORTED_FRAC_FOR_DELTA
+                and st.extras.get("prefix_frac", 0.0) >= 0.4):
+            return "prefix", "zstd"
         try:  # FSST for high-cardinality text when the kernel is available
             from .kernels import fsst  # noqa: F401
 

@@ -51,13 +51,11 @@ def encoded_lineitem_dir(spark: SparkSession, sf_dir: str) -> str:
     return _ENCODED_CACHE[key]
 
 
-def codec_roundtrip(spark: SparkSession, path: str, columns: list[str],
-                    codec=None) -> DataFrame:
-    """encode→decode every batch of ``columns`` through the blob codec
-    and return the decoded DataFrame. ``codec``: None → auto-select per
+def roundtrip_df(df: DataFrame, codec=None) -> DataFrame:
+    """encode→decode every batch of ``df`` through the blob codec and
+    return the decoded DataFrame. ``codec``: None → auto-select per
     chunk; (codec, entropy) → force all columns; {col: (codec, entropy)}
     → force per column (missing names auto-select)."""
-    df = spark.read.parquet(path).select(*columns)
     schema = df.schema
     forced = codec
 
@@ -82,6 +80,12 @@ def codec_roundtrip(spark: SparkSession, path: str, columns: list[str],
             yield pa.RecordBatch.from_arrays(arrs, names=list(b.schema.names))
 
     return df.mapInArrow(rt, schema)
+
+
+def codec_roundtrip(spark: SparkSession, path: str, columns: list[str],
+                    codec=None) -> DataFrame:
+    """encode→decode ``columns`` of a parquet table through the codec."""
+    return roundtrip_df(spark.read.parquet(path).select(*columns), codec)
 
 
 # ---------------------------------------------------------------- codecs
@@ -123,6 +127,69 @@ def q_bss_roundtrip(spark, sf_dir):
     return codec_roundtrip(
         spark, os.path.join(sf_dir, "lineitem.parquet"),
         ["l_quantity", "l_extendedprice", "l_discount"], ("bss", "zstd"),
+    )
+
+
+def q_prefix_roundtrip(spark, sf_dir):
+    """Front-coding (E6, DELTA_BYTE_ARRAY) on its designed shape: a
+    sorted prefix-heavy string column (customer names sorted by key)."""
+    df = (
+        spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+        .select("c_custkey", "c_name")
+        .sortWithinPartitions("c_custkey")
+    )
+    return roundtrip_df(df, {"c_name": ("prefix", "zstd")})
+
+
+def q_zlib_roundtrip(spark, sf_dir):
+    """zlib entropy stage (C3, GZIP parity) over plain-coded columns."""
+    return codec_roundtrip(
+        spark, os.path.join(sf_dir, "orders.parquet"),
+        ["o_orderkey", "o_orderstatus", "o_totalprice"], ("plain", "zlib"),
+    )
+
+
+def q_nested_roundtrip(spark, sf_dir):
+    """Nested containers (SURVEY §2.5 L2): struct + list<long> with
+    null elements + map, built from events, pushed through the codec's
+    recursive nested encoding, then flattened back so the driver's
+    value-hash compare stays on primitive columns."""
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    nested = ev.select(
+        "event_id",
+        F.struct(
+            F.col("user_id").alias("u"),
+            F.col("event_type").alias("e"),
+            F.col("ts").alias("t"),
+        ).alias("meta"),
+        F.array(
+            F.col("user_id"),
+            F.when(F.col("event_id") % 7 == 0, F.col("event_id")),
+        ).alias("ids"),
+        F.create_map(F.lit("uid"), F.col("user_id")).alias("kv"),
+    )
+    rt = roundtrip_df(nested)
+    return rt.select(
+        "event_id",
+        F.col("meta.u").alias("meta_u"),
+        F.col("meta.e").alias("meta_e"),
+        F.col("meta.t").alias("meta_t"),
+        F.element_at("ids", 2).alias("id2"),
+        F.element_at("kv", F.lit("uid")).alias("kv_uid"),
+    )
+
+
+def q_list_roundtrip(spark, sf_dir):
+    """list<float> embeddings through the codec (flat-float list fast
+    path), flattened to a primitive for the hash compare."""
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    rt = roundtrip_df(emb.select("vec_id", "embedding", "label"))
+    return rt.select(
+        "vec_id",
+        F.col("label").cast("long").alias("label"),
+        F.size("embedding").cast("long").alias("dim"),
+        F.element_at("embedding", 1).cast("double").alias("e0"),
+        F.element_at("embedding", 64).cast("double").alias("e63"),
     )
 
 

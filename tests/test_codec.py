@@ -245,3 +245,80 @@ def test_alp_upgrade_in_encode_path():
     blob, meta = _encode_one_column(prices, "price", None)
     assert meta["codec"] == "alp"
     assert decode_array(blob).equals(prices)
+
+
+def test_nested_roundtrip_all_shapes():
+    """Generic nested containers (SURVEY §2.5 L2): struct, map,
+    list<T> with nulls at every level round-trip bit-exactly."""
+    import pyarrow as pa
+
+    cases = [
+        pa.array([["a", "bb"], None, [], ["ccc", None, "dd"]],
+                 pa.list_(pa.string())),
+        pa.array([[1, 2, 3], [4], None, []], pa.list_(pa.int64())),
+        pa.array([[[1, 2], [3]], None, [[], [4, 5]]],
+                 pa.list_(pa.list_(pa.int32()))),
+        pa.array(
+            [{"a": 1, "b": "x"}, None, {"a": None, "b": "yy"},
+             {"a": 3, "b": None}],
+            pa.struct([("a", pa.int64()), ("b", pa.string())]),
+        ),
+        pa.array(
+            [{"s": {"k": 1}, "l": [1.5, 2.5]}, None,
+             {"s": None, "l": None}],
+            pa.struct([("s", pa.struct([("k", pa.int32())])),
+                       ("l", pa.list_(pa.float64()))]),
+        ),
+        pa.array([[("k1", 1), ("k2", 2)], None, [], [("k3", None)]],
+                 pa.map_(pa.string(), pa.int64())),
+        pa.array([None, None], pa.struct([("a", pa.int64())])),
+        pa.array([], pa.list_(pa.string())),
+    ]
+    from parquet_go_spark.codec import content_crc
+    from parquet_go_spark.plan import choose_codec, profile_array
+
+    for arr in cases:
+        c, e = choose_codec(profile_array(arr, "x"))
+        blob = encode_array(arr, c, e)
+        back = decode_array(blob)
+        assert back.equals(arr), (arr.type, back, arr)
+        assert content_crc(arr) == content_crc(back)
+
+
+def test_nested_child_gets_real_codec():
+    """A text field inside a struct must still compress (child blobs
+    auto-select FSST/dict, not raw plain)."""
+    import pyarrow as pa
+
+    text = ["the quick brown fox jumps over the lazy dog %d" % i
+            for i in range(2000)]
+    arr = pa.array([{"t": t, "i": i} for i, t in enumerate(text)],
+                   pa.struct([("t", pa.string()), ("i", pa.int64())]))
+    blob = encode_array(arr, "plain", "none")
+    assert len(blob) < arr.nbytes * 0.6, (len(blob), arr.nbytes)
+    assert decode_array(blob).equals(arr)
+
+
+def test_selector_sorted_prefix_string_picks_prefix():
+    """A sorted high-cardinality prefix-heavy column (the sorted
+    conv_id shape) must auto-select front-coding (E6)."""
+    import pyarrow as pa
+
+    names = [f"conv-{i:012d}" for i in range(150_000)]
+    arr = pa.array(names)
+    st = profile_array(arr, "conv_id")
+    assert choose_codec(st)[0] == "prefix", (st.sorted_frac, st.extras)
+    blob = encode_array(arr, *choose_codec(st))
+    assert decode_array(blob).equals(arr)
+    assert len(blob) < len(encode_array(arr, "plain", "zstd"))
+
+
+def test_selector_unsorted_hicard_string_still_fsst():
+    import pyarrow as pa
+
+    rng = __import__("numpy").random.default_rng(3)
+    words = ["query filter join stream table row batch window %d %d"
+             % (a, b) for a, b in zip(rng.integers(0, 99999, 4000),
+                                      rng.integers(0, 99999, 4000))]
+    st = profile_array(pa.array(words), "text")
+    assert choose_codec(st)[0] == "fsst"

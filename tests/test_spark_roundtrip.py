@@ -397,3 +397,29 @@ def test_resume_rejects_stale_chunk_with_same_rowcount(spark, tmp_path):
     assert table.verify_roundtrip(df_b, back, ("conv_id", "turn_idx"))[
         "identical"
     ]
+
+
+def test_nested_columns_through_table_layer(spark, transcripts, tmp_path):
+    """struct + array + map columns written/decoded through the full
+    chunk-table path (transcripts carry nested tool-call metadata)."""
+    import pyspark.sql.functions as F
+
+    df = transcripts.withColumn(
+        "tool_call",
+        F.struct(F.col("tool").alias("name"),
+                 F.col("turn_idx").alias("at_turn")),
+    ).withColumn(
+        "tags", F.array(F.col("role"), F.when(F.col("turn_idx") % 3 == 0,
+                                              F.col("tool")))
+    ).withColumn(
+        "attrs", F.create_map(F.lit("role"), F.col("role"))
+    )
+    out = str(tmp_path / "tbl")
+    info = table.write_table(df, out, num_chunks=4)
+    assert info["n_rows"] == df.count()
+    back = table.read_table(spark, out)
+    # Spark set-ops reject MAP columns — compare via map_entries
+    flat = lambda d: d.withColumn("attrs", F.map_entries("attrs"))  # noqa: E731
+    res = table.verify_roundtrip(flat(df), flat(back),
+                                 ("conv_id", "turn_idx"))
+    assert res["identical"], res
