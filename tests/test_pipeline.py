@@ -72,3 +72,47 @@ def test_frame_sample_counts(spark):
     want = {r["doc_id"]: -(-r["n"] // 64) for r in
             docs.select("doc_id", F.length("text").alias("n")).collect()}
     assert got == want
+
+
+def test_dedup_embedding_blocked_matches_exact(spark):
+    """The registered LSH-block + exact-rerank path must recover the
+    full brute-force pair set at test scale (seeded planes, 2×16)."""
+    exact = {tuple(r) for r in P.dedup_embedding_exact(spark, SF).collect()}
+    blocked = {tuple(r) for r in P.dedup_embedding(spark, SF).collect()}
+    assert blocked == exact, (len(blocked), len(exact))
+
+
+def test_simhash_jvm_matches_numpy_reference(spark):
+    """The JVM bit-vote aggregation must reproduce the classic numpy
+    fold over the same xxhash64 token hashes."""
+    import numpy as np
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(50)
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    ).withColumn("h", F.xxhash64("token"))
+    ref = {}
+    for doc_id, rows in __import__("itertools").groupby(
+        sorted(tok.collect(), key=lambda r: r["doc_id"]),
+        key=lambda r: r["doc_id"],
+    ):
+        h = np.array([r["h"] for r in rows], dtype=np.int64).view(np.uint64)
+        bits = (h[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+        votes = (bits.astype(np.int64) * 2 - 1).sum(axis=0)
+        sig = np.uint64(0)
+        for b in np.flatnonzero(votes > 0):
+            sig |= np.uint64(1) << np.uint64(b)
+        ref[doc_id] = int(sig.view(np.int64) if hasattr(sig, "view")
+                          else np.array([sig], np.uint64).view(np.int64)[0])
+    got = {r["doc_id"]: r["simhash"]
+           for r in P.simhash(spark, SF).collect() if r["doc_id"] in ref}
+    for k in ref:
+        assert got[k] == ref[k], (k, got[k], ref[k])
+
+
+def test_ngram_jaccard_cap_active_drops_hot_shingles(spark):
+    """With an aggressively low cap the hot shingles leave the index —
+    result rows can only shrink, never error."""
+    base = P.dedup_ngram_jaccard(spark, SF).count()
+    capped = P.dedup_ngram_jaccard(spark, SF, max_shingle_df=1).count()
+    assert capped <= base
