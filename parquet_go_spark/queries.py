@@ -11,9 +11,11 @@ bit-identity check (north_rule invariant).
 Scale notes (100 TB frame): every query here is a plain DataFrame plan
 (scan → mapInArrow / groupBy / window); the codec round-trips are
 per-batch with no driver collect, so they parallelize with the scan.
-The windowed queries (rle_runs, delta_encode) partition by their
-natural keys; only the tiny profile/select queries single-partition on
-purpose (exact stats parity at sf0.01).
+The windowed queries (delta_encode) partition by their natural keys;
+rle_runs and codec_select use range-partitioned partials + an
+O(partitions) boundary merge instead of a global-order window, and
+profile_stats is one 23-aggregate pass — no Exchange SinglePartition
+anywhere in the registered plans.
 """
 
 from __future__ import annotations
@@ -197,18 +199,76 @@ def q_list_roundtrip(spark, sf_dir):
 
 def q_rle_runs(spark, sf_dir):
     """Run segmentation of l_returnflag in (l_orderkey, l_linenumber)
-    order — the declarative spec of the RLE kernel's run detection."""
-    w = Window.orderBy(*LINEITEM_KEY)
-    df = _lineitem(spark, sf_dir)
-    return (
-        df.withColumn("_prev", F.lag("l_returnflag").over(w))
-        .withColumn(
-            "_is_start",
-            (F.col("_prev").isNull()
-             | (F.col("_prev") != F.col("l_returnflag"))).cast("long"),
+    order — the declarative spec of the RLE kernel's run detection.
+
+    Two-level plan (no global-order window, which would be an
+    Exchange SinglePartition): range-partition on the sort key, count
+    runs per partition in a vectorized Arrow kernel, then merge the
+    P-row boundary table — a run spanning two partitions subtracts one
+    from its flag. The only whole-table exchange is the range
+    partitioner; the merge works on O(partitions) rows."""
+    df = _lineitem(spark, sf_dir).select(*LINEITEM_KEY, "l_returnflag")
+    par = max(2, spark.sparkContext.defaultParallelism)
+    ranged = (
+        df.repartitionByRange(par, *LINEITEM_KEY)
+        .sortWithinPartitions(*LINEITEM_KEY)
+    )
+
+    def part_runs(batches):
+        import numpy as np
+        import pyarrow as pa
+        from pyspark import TaskContext
+
+        blist = list(batches)
+        if not blist:
+            return
+        tbl = pa.Table.from_batches(blist)
+        if tbl.num_rows == 0:
+            return
+        pid = TaskContext.get().partitionId() if TaskContext.get() else 0
+        flags = np.asarray(
+            tbl.column("l_returnflag").to_pylist(), dtype=object
         )
-        .groupBy("l_returnflag")
-        .agg(F.sum("_is_start").alias("n_runs"), F.count("*").alias("n_rows"))
+        starts = np.ones(len(flags), dtype=bool)
+        starts[1:] = flags[1:] != flags[:-1]
+        run_flags = flags[starts]
+        uniq, run_counts = np.unique(run_flags, return_counts=True)
+        _, row_counts = np.unique(np.sort(flags), return_counts=True)
+        rows = [
+            {
+                "pid": pid, "flag": str(u),
+                "n_runs": int(rc), "n_rows": int(nc),
+                "first_flag": str(flags[0]), "last_flag": str(flags[-1]),
+            }
+            for u, rc, nc in zip(uniq, run_counts, row_counts)
+        ]
+        yield pa.RecordBatch.from_pylist(rows)
+
+    partials = ranged.mapInArrow(
+        part_runs,
+        "pid long, flag string, n_runs long, n_rows long, "
+        "first_flag string, last_flag string",
+    )
+    # boundary merge over O(partitions) rows — the tiny window is
+    # bounded by partition count, not data size
+    bounds = partials.select("pid", "first_flag", "last_flag").distinct()
+    w = Window.orderBy("pid")
+    merges = (
+        bounds.withColumn("prev_last", F.lag("last_flag").over(w))
+        .filter(F.col("first_flag") == F.col("prev_last"))
+        .groupBy(F.col("first_flag").alias("flag"))
+        .agg(F.count("*").alias("n_merged"))
+    )
+    return (
+        partials.groupBy("flag")
+        .agg(F.sum("n_runs").alias("runs"), F.sum("n_rows").alias("n_rows"))
+        .join(merges, "flag", "left")
+        .select(
+            F.col("flag").alias("l_returnflag"),
+            (F.col("runs") - F.coalesce(F.col("n_merged"), F.lit(0)))
+            .alias("n_runs"),
+            "n_rows",
+        )
     )
 
 
@@ -232,49 +292,135 @@ def q_delta_encode(spark, sf_dir):
 
 
 def q_profile_stats(spark, sf_dir):
-    """Per-column profile (M1/M2 parity): exact counts via built-ins."""
+    """Per-column profile (M1/M2 parity): exact counts via built-ins,
+    ONE scan — all 23 aggregates (count + per-column null/distinct) run
+    in a single agg (Catalyst expands multi-countDistinct into one
+    shuffle), then a stack() unpivots to one row per column. The old
+    shape ran 11 separate jobs over the same table."""
     df = _lineitem(spark, sf_dir)
-    parts = []
-    for c in df.columns:
-        parts.append(
-            df.agg(
-                F.count(F.lit(1)).alias("n_values"),
-                F.sum(F.col(c).isNull().cast("long")).alias("null_count"),
-                F.countDistinct(c).alias("n_distinct"),
-            ).withColumn("col_name", F.lit(c))
-        )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out.select("col_name", "n_values", "null_count", "n_distinct")
+    cols = df.columns
+    row = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.sum(F.col(c).isNull().cast("long")).alias(f"nu_{c}")
+          for c in cols],
+        *[F.countDistinct(c).alias(f"nd_{c}") for c in cols],
+    )
+    stack = ", ".join(f"'{c}', n, nu_{c}, nd_{c}" for c in cols)
+    return row.selectExpr(
+        f"stack({len(cols)}, {stack}) AS "
+        "(col_name, n_values, null_count, n_distinct)"
+    )
 
 
 def q_codec_select(spark, sf_dir):
-    """The auto-selector's decision per lineitem column, computed by the
-    real profile_array/choose_codec on the full column (single
-    partition, deterministic key order — sf0.01 fits the sample)."""
-    df = (
-        _lineitem(spark, sf_dir)
-        .repartition(1)
+    """The auto-selector's decision per lineitem column, from EXACT
+    whole-column stats computed distributed (no repartition(1)):
+
+    - one-pass agg for count / nulls / distinct per column (expand);
+    - order-dependent stats (sorted_frac, run_frac) as per-partition
+      partials over a range-partitioned sort, merged with O(partitions)
+      boundary pairs on the driver.
+
+    The assembled ColumnStats feed the real ``choose_codec`` — the
+    decision runs on a handful of aggregate numbers, so driver-side is
+    the right altitude; the data passes are all distributed."""
+    from .plan import ColumnStats, choose_codec
+
+    df = _lineitem(spark, sf_dir)
+    cols = df.columns
+    dtypes = dict(df.dtypes)
+    _ARROW_NAME = {
+        "tinyint": "int8", "smallint": "int16", "int": "int32",
+        "bigint": "int64", "float": "float", "double": "double",
+        "string": "string", "boolean": "bool",
+        "timestamp": "timestamp[us, tz=UTC]", "date": "date32[day]",
+    }
+    order_cols = [c for c in cols if dtypes[c] in
+                  ("tinyint", "smallint", "int", "bigint", "timestamp",
+                   "date")]
+
+    g = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.sum(F.col(c).isNull().cast("long")).alias(f"nu_{c}")
+          for c in cols],
+        *[F.countDistinct(c).alias(f"nd_{c}") for c in cols],
+    ).collect()[0]
+
+    par = max(2, spark.sparkContext.defaultParallelism)
+    need = list(dict.fromkeys(list(LINEITEM_KEY) + order_cols))
+    ranged = (
+        df.select(*need)
+        .repartitionByRange(par, *LINEITEM_KEY)
         .sortWithinPartitions(*LINEITEM_KEY)
     )
 
-    def sel(batches):
+    def partials(batches):
+        import numpy as np
         import pyarrow as pa
-
-        from .plan import choose_codec, profile_array
+        from pyspark import TaskContext
 
         blist = list(batches)
         if not blist:
             return
         tbl = pa.Table.from_batches(blist)
+        if tbl.num_rows == 0:
+            return
+        pid = TaskContext.get().partitionId() if TaskContext.get() else 0
         rows = []
-        for name in tbl.column_names:
-            c, e = choose_codec(profile_array(tbl.column(name).combine_chunks(), name))
-            rows.append({"col_name": name, "codec": c, "entropy": e})
+        for name in order_cols:
+            arr = tbl.column(name).combine_chunks()
+            if pa.types.is_timestamp(arr.type):
+                arr = arr.cast(pa.int64())
+            elif pa.types.is_date32(arr.type):
+                arr = arr.cast(pa.int32())
+            v = arr.to_numpy(zero_copy_only=False).astype(np.int64)
+            d = np.diff(v)
+            rows.append(
+                {
+                    "pid": pid, "col_name": name,
+                    "nondec": int((d >= 0).sum()),
+                    "chg": int((d != 0).sum()),
+                    "first": int(v[0]), "last": int(v[-1]),
+                }
+            )
         yield pa.RecordBatch.from_pylist(rows)
 
-    return df.mapInArrow(sel, "col_name string, codec string, entropy string")
+    part_rows = ranged.mapInArrow(
+        partials,
+        "pid long, col_name string, nondec long, chg long, "
+        "first long, last long",
+    ).collect()
+
+    # boundary merge: O(partitions × columns) rows
+    by_col: dict[str, list] = {}
+    for r in part_rows:
+        by_col.setdefault(r.col_name, []).append(r)
+    order_stats = {}
+    for name, rows in by_col.items():
+        rows.sort(key=lambda r: r.pid)
+        nondec = sum(r.nondec for r in rows)
+        chg = sum(r.chg for r in rows)
+        for a, b in zip(rows[:-1], rows[1:]):
+            nondec += int(b.first >= a.last)
+            chg += int(b.first != a.last)
+        order_stats[name] = (nondec, chg)
+
+    out = []
+    for c in cols:
+        n = g["n"]
+        nn = n - g[f"nu_{c}"]
+        nondec, chg = order_stats.get(c, (0, 0))
+        st = ColumnStats(
+            name=c, arrow_type=_ARROW_NAME.get(dtypes[c], dtypes[c]),
+            n=n, null_count=g[f"nu_{c}"], n_distinct=g[f"nd_{c}"],
+            sorted_frac=(nondec / (n - 1)) if n > 1 else 0.0,
+            run_frac=(1.0 - (chg + 1) / nn) if nn else 0.0,
+        )
+        codec, entropy = choose_codec(st)
+        out.append((c, codec, entropy))
+    return spark.createDataFrame(
+        out, "col_name string, codec string, entropy string"
+    )
 
 
 # ----------------------------------------------------- table / manifests
