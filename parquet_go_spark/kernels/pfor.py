@@ -42,18 +42,25 @@ def _best_window(v: np.ndarray) -> tuple[int, int]:
     su = (s.view(np.uint64) - s.view(np.uint64)[0])  # wrap-safe offsets
     span = int(su[-1])
     full_w = bit_width(span) if span else 0
-    best = (full_w, int(s[0]), n * full_w / 8)
-    for w in range(full_w):
-        window = np.uint64(1) << np.uint64(w) if w else np.uint64(1)
-        hi = su + window
-        hi[hi < su] = np.uint64(0xFFFFFFFFFFFFFFFF)  # saturate wrap
-        cover = np.searchsorted(su, hi, side="left") - np.arange(n)
-        i = int(np.argmax(cover))
-        n_exc = n - int(cover[i])
-        cost = n * w / 8 + n_exc * _EXC_COST
-        if cost < best[2]:
-            best = (w, int(s[i]), cost)
-    return best[0], best[1]
+    if full_w == 0:
+        return 0, int(s[0])
+    # all candidate widths in ONE searchsorted (W×n keys): per width,
+    # best anchor = the sliding window covering the most values
+    ws = np.arange(full_w, dtype=np.uint64)
+    windows = np.uint64(1) << ws
+    hi = su[None, :] + windows[:, None]
+    hi[hi < su[None, :]] = np.uint64(0xFFFFFFFFFFFFFFFF)  # saturate wrap
+    cover = (
+        np.searchsorted(su, hi.ravel(), side="left").reshape(full_w, n)
+        - np.arange(n)[None, :]
+    )
+    anchor = cover.argmax(axis=1)
+    n_exc = n - cover[np.arange(full_w), anchor]
+    costs = n * np.arange(full_w) / 8 + n_exc * _EXC_COST
+    j = int(costs.argmin())
+    if costs[j] < n * full_w / 8:
+        return j, int(s[anchor[j]])
+    return full_w, int(s[0])
 
 
 def pfor_encode(vals: np.ndarray) -> bytes:
@@ -61,8 +68,8 @@ def pfor_encode(vals: np.ndarray) -> bytes:
     n = len(v)
     if n == 0:
         return struct.pack("<QqBI", 0, 0, 0, 0)
-    if n > 1 << 16:  # width/anchor selection on a stride sample
-        w, ref = _best_window(v[:: max(1, n // (1 << 14))])
+    if n > 1 << 14:  # width/anchor selection on a stride sample
+        w, ref = _best_window(v[:: max(1, n // (1 << 13))])
     else:
         w, ref = _best_window(v)
     shifted = v.view(np.uint64) - np.int64(ref).astype(np.uint64)

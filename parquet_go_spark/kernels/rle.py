@@ -23,10 +23,10 @@ import numpy as np
 
 from .bitpack import (
     bit_width,
-    pack_bits,
-    unpack_bits,
+    pack_bits_segmented,
     uleb128_decode_stream,
     uleb128_encode_array,
+    unpack_bits_segmented,
 )
 
 __all__ = ["rle_encode", "rle_decode"]
@@ -104,10 +104,24 @@ def rle_encode(vals: np.ndarray, width: int | None = None) -> bytes:
         pos = pay_offs[rle_piece_idx][:, None] + np.arange(vbytes)
         payload[pos] = vals_le
 
-    for i in np.flatnonzero(is_bp):
-        lo = piece_src_start[i]
-        packed = np.frombuffer(pack_bits(v[lo : lo + int(counts[i])], width), np.uint8)
-        payload[pay_offs[i] : pay_offs[i] + len(packed)] = packed
+    bp_idx = np.flatnonzero(is_bp)
+    if len(bp_idx):
+        bp_counts = counts[bp_idx].astype(np.int64)
+        total = int(bp_counts.sum())
+        ccum = np.zeros(len(bp_counts) + 1, dtype=np.int64)
+        np.cumsum(bp_counts, out=ccum[1:])
+        intra = np.arange(total, dtype=np.int64) - np.repeat(ccum[:-1], bp_counts)
+        bpv = v[np.repeat(piece_src_start[bp_idx], bp_counts) + intra]
+        packed = np.frombuffer(
+            pack_bits_segmented(bpv, bp_counts, width), np.uint8
+        )
+        pb = pay_lens[bp_idx]
+        pcum = np.zeros(len(pb) + 1, dtype=np.int64)
+        np.cumsum(pb, out=pcum[1:])
+        tpos = np.repeat(pay_offs[bp_idx], pb) + (
+            np.arange(int(pcum[-1]), dtype=np.int64) - np.repeat(pcum[:-1], pb)
+        )
+        payload[tpos] = packed
 
     head = struct.pack("<IBII", n, width, len(headers), len(hdr_bytes))
     return head + hdr_bytes + payload.tobytes()
@@ -154,9 +168,19 @@ def rle_decode(buf: bytes | memoryview) -> np.ndarray:
         slots = np.repeat(out_offs[rle_idx], rcounts) + intra
         out[slots] = np.repeat(rvals, rcounts)
 
-    for i in np.flatnonzero(is_bp):
-        cnt = int(counts[i])
-        out[out_offs[i] : out_offs[i] + cnt] = unpack_bits(
-            payload[pay_offs[i] : pay_offs[i + 1]], cnt, width
+    bp_idx = np.flatnonzero(is_bp)
+    if len(bp_idx):
+        pb = pay_lens[bp_idx]
+        pcum = np.zeros(len(pb) + 1, dtype=np.int64)
+        np.cumsum(pb, out=pcum[1:])
+        spos = np.repeat(pay_offs[bp_idx], pb) + (
+            np.arange(int(pcum[-1]), dtype=np.int64) - np.repeat(pcum[:-1], pb)
         )
+        vals = unpack_bits_segmented(payload[spos], counts[bp_idx], width)
+        bp_counts = counts[bp_idx]
+        total = int(bp_counts.sum())
+        ccum = np.zeros(len(bp_counts) + 1, dtype=np.int64)
+        np.cumsum(bp_counts, out=ccum[1:])
+        intra = np.arange(total, dtype=np.int64) - np.repeat(ccum[:-1], bp_counts)
+        out[np.repeat(out_offs[bp_idx], bp_counts) + intra] = vals
     return out
