@@ -6,13 +6,24 @@ chunk gets a manifest entry with per-column codec chain, sizes, stats,
 CRC and lineage; a snapshot commit is an atomic rename of
 ``_manifest_list.json``. This is what makes encode jobs resumable from
 checkpoint (north_rule) — a rerun skips chunk files that are already
-present and CRC-valid.
+present and fingerprint-valid.
+
+Manifests are SHARDED (Iceberg manifest-list parity): entries are
+grouped by chunk-id prefix (``chunk_id[:-4]`` → ≤10⁴ chunks per
+shard), each shard is one immutable JSON file named after the snapshot
+that created it, and a commit reuses the parent's file for any shard
+whose entry list is unchanged. An append that touches one shard
+rewrites ONE file — at the 10¹²-turn frame (~4M chunks) a streaming
+micro-batch commit stays O(batch), not O(table).
 
 Layout under a table dir:
 
-    chunks/chunk-<key>.parquet     one file per chunk (blob rows)
-    _manifests/manifest-<n>.json   chunk entry list for snapshot n
-    _manifest_list.json            current snapshot pointer + schema
+    chunks/chunk-<key>.parquet           one file per chunk (blob rows)
+    _manifests/manifest-<n>-<shard>.json entries for one shard,
+                                         written by snapshot n
+    _manifests/snap-<n>.json             snapshot n's listing
+                                         (shard refs + metadata)
+    _manifest_list.json                  current snapshot pointer
 """
 
 from __future__ import annotations
@@ -58,70 +69,140 @@ def _atomic_write_json(path: str, obj: Any) -> None:
             os.unlink(tmp)
 
 
+def _shard_of(chunk_id: str) -> str:
+    """Stable shard key: everything but the last 4 digits → up to 10⁴
+    chunk ids per shard, and a chunk_prefix (streaming batch, compaction
+    namespace) maps to its own shard family."""
+    return chunk_id[:-4] if len(chunk_id) > 4 else ""
+
+
+def _group_by_shard(entries: list[dict]) -> dict[str, list[dict]]:
+    out: dict[str, list[dict]] = {}
+    for e in entries:
+        out.setdefault(_shard_of(e["chunk_id"]), []).append(e)
+    for ents in out.values():
+        ents.sort(key=lambda e: e["chunk_id"])
+    return out
+
+
 def commit(table_dir: str, entries: list[dict], schema_ddl: str,
            extra: dict | None = None, append: bool = False) -> int:
-    """Write manifest-<snap>.json then atomically swing _manifest_list.json.
+    """Write changed manifest shards + snap-<n>.json, then atomically
+    swing _manifest_list.json.
 
     ``append=True`` merges into the parent snapshot's entries keyed by
-    chunk_id (same id overrides — idempotent batch replay)."""
+    chunk_id (same id overrides — idempotent batch replay); shards
+    without new entries reuse the parent's manifest file untouched."""
     prev = load(table_dir)
     snapshot_id = (prev["snapshot_id"] + 1) if prev else 0
+    prev_by_shard: dict[str, list[dict]] = (
+        _group_by_shard(prev["entries"]) if prev else {}
+    )
+    prev_files = {
+        ref["shard"]: ref
+        for ref in (prev.get("manifest_shards") or [] if prev else [])
+    }
+
+    new_by_shard = _group_by_shard(entries)
     if append and prev:
-        merged = {e["chunk_id"]: e for e in prev["entries"]}
-        for e in entries:
-            merged[e["chunk_id"]] = e
-        entries = list(merged.values())
-    mpath = os.path.join(table_dir, "_manifests", f"manifest-{snapshot_id}.json")
-    entries = sorted(entries, key=lambda e: e["chunk_id"])
-    _atomic_write_json(mpath, {"entries": entries})
+        final: dict[str, list[dict]] = dict(prev_by_shard)
+        for shard, ents in new_by_shard.items():
+            merged = {e["chunk_id"]: e for e in prev_by_shard.get(shard, [])}
+            for e in ents:
+                merged[e["chunk_id"]] = e
+            final[shard] = sorted(merged.values(),
+                                  key=lambda e: e["chunk_id"])
+    else:
+        final = new_by_shard
+
+    shard_refs = []
+    n_rows = raw = enc = n_chunks = 0
+    for shard in sorted(final):
+        ents = final[shard]
+        if not ents:
+            continue
+        n_chunks += len(ents)
+        n_rows += sum(e["n_rows"] for e in ents)
+        raw += sum(e["raw_bytes"] for e in ents)
+        enc += sum(e["enc_bytes"] for e in ents)
+        if (shard in prev_files
+                and prev_by_shard.get(shard) == ents):
+            ref = dict(prev_files[shard])  # unchanged → reuse the file
+        else:
+            fname = f"manifest-{snapshot_id}-{shard or 'root'}.json"
+            fpath = os.path.join(table_dir, "_manifests", fname)
+            _atomic_write_json(fpath, {"entries": ents})
+            ref = {"shard": shard,
+                   "file": os.path.relpath(fpath, table_dir),
+                   "n_chunks": len(ents)}
+        shard_refs.append(ref)
+
     listing = {
         "snapshot_id": snapshot_id,
         "engine": ENGINE_VERSION,
         "schema_ddl": schema_ddl,
-        "manifest": os.path.relpath(mpath, table_dir),
-        "n_chunks": len(entries),
-        "n_rows": sum(e["n_rows"] for e in entries),
-        "raw_bytes": sum(e["raw_bytes"] for e in entries),
-        "enc_bytes": sum(e["enc_bytes"] for e in entries),
+        "manifest_shards": shard_refs,
+        "n_chunks": n_chunks,
+        "n_rows": n_rows,
+        "raw_bytes": raw,
+        "enc_bytes": enc,
         "extra": extra or {},
         "parent_snapshot_id": prev["snapshot_id"] if prev else None,
     }
+    _atomic_write_json(
+        os.path.join(table_dir, "_manifests", f"snap-{snapshot_id}.json"),
+        listing,
+    )
     _atomic_write_json(os.path.join(table_dir, "_manifest_list.json"), listing)
     return snapshot_id
+
+
+def _read_entries(table_dir: str, listing: dict) -> list[dict]:
+    if "manifest_shards" in listing:
+        entries: list[dict] = []
+        for ref in listing["manifest_shards"]:
+            with open(os.path.join(table_dir, ref["file"])) as f:
+                entries.extend(json.load(f)["entries"])
+        entries.sort(key=lambda e: e["chunk_id"])
+        return entries
+    # pre-0.2 format: one flat manifest file
+    with open(os.path.join(table_dir, listing["manifest"])) as f:
+        return json.load(f)["entries"]
 
 
 def load(table_dir: str, snapshot_id: int | None = None) -> dict | None:
     """Load a snapshot (listing + chunk entries); None if uncommitted.
 
-    ``snapshot_id`` selects a historical snapshot (time travel —
-    manifest files are retained per snapshot, Iceberg-style). Caveats:
-    chunk ids are content-addressed, so a later write that reuses an id
-    (same chunking, no ``chunk_prefix``) rewrites the file in place and
-    invalidates older snapshots referencing it — versioned rewrites
-    should namespace with ``chunk_prefix``; compaction likewise deletes
-    superseded chunk files."""
+    ``snapshot_id`` selects a historical snapshot (time travel — shard
+    files are immutable and retained per snapshot). Decode verifies
+    each chunk file's embedded entry against the snapshot's
+    (chunk_id/data_crc/enc_bytes), so a chunk rewritten or GC'd after
+    the snapshot fails loudly instead of decoding wrong data."""
     lpath = os.path.join(table_dir, "_manifest_list.json")
     if not os.path.exists(lpath):
         return None
     with open(lpath) as f:
         listing = json.load(f)
     if snapshot_id is not None and snapshot_id != listing["snapshot_id"]:
+        spath = os.path.join(table_dir, "_manifests",
+                             f"snap-{snapshot_id}.json")
         mpath = os.path.join(table_dir, "_manifests",
                              f"manifest-{snapshot_id}.json")
-        if not os.path.exists(mpath):
+        if os.path.exists(spath):
+            with open(spath) as f:
+                listing = json.load(f)
+        elif os.path.exists(mpath):  # pre-0.2 snapshot
+            listing = {k: v for k, v in listing.items()
+                       if k != "manifest_shards"}
+            listing.update(snapshot_id=snapshot_id,
+                           manifest=os.path.relpath(mpath, table_dir))
+        else:
             raise FileNotFoundError(
                 f"snapshot {snapshot_id} not found in {table_dir}"
             )
-        with open(mpath) as f:
-            entries = json.load(f)["entries"]
-        listing = dict(listing, snapshot_id=snapshot_id,
-                       manifest=os.path.relpath(mpath, table_dir),
-                       entries=entries,
-                       n_chunks=len(entries),
-                       n_rows=sum(e["n_rows"] for e in entries))
-        return listing
-    with open(os.path.join(table_dir, listing["manifest"])) as f:
-        listing["entries"] = json.load(f)["entries"]
+    listing["entries"] = _read_entries(table_dir, listing)
+    listing["n_chunks"] = len(listing["entries"])
+    listing["n_rows"] = sum(e["n_rows"] for e in listing["entries"])
     return listing
 
 

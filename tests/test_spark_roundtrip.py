@@ -423,3 +423,28 @@ def test_nested_columns_through_table_layer(spark, transcripts, tmp_path):
     res = table.verify_roundtrip(flat(df), flat(back),
                                  ("conv_id", "turn_idx"))
     assert res["identical"], res
+
+
+def test_sharded_manifest_append_rewrites_one_shard(spark, tmp_path):
+    """Manifests are sharded by chunk-id prefix: an append commit must
+    write ONLY the shards it touches and reuse the parent's files for
+    the rest (O(batch) commit at the 10^12-turn frame)."""
+    df = make_transcripts_df(spark, n_conv=60, seed=41)
+    out = str(tmp_path / "tbl")
+    table.write_table(df, out, num_chunks=3, chunk_prefix="a-")
+    l0 = manifest.load(out)
+    files0 = {r["file"]: r for r in l0["manifest_shards"]}
+    table.write_table(df.limit(50), out, num_chunks=2, chunk_prefix="b-",
+                      append=True)
+    l1 = manifest.load(out)
+    files1 = {r["file"]: r for r in l1["manifest_shards"]}
+    shards1 = {r["shard"] for r in l1["manifest_shards"]}
+    assert shards1 == {"a-00", "b-00"}
+    # the a- shard file is REUSED from snapshot 0, only b- is new
+    a_files = [f for f in files1 if "-a-00" in f]
+    b_files = [f for f in files1 if "-b-00" in f]
+    assert a_files and a_files[0] in files0
+    assert b_files and b_files[0].startswith("_manifests/manifest-1-")
+    # data intact across both snapshots
+    assert table.read_table(spark, out).count() == df.count() + 50
+    assert table.read_table(spark, out, snapshot_id=0).count() == df.count()
