@@ -59,6 +59,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zlib_roundtrip": Q.q_zlib_roundtrip,
         "nested_roundtrip": Q.q_nested_roundtrip,
         "list_roundtrip": Q.q_list_roundtrip,
+        "uint_roundtrip": Q.q_uint_roundtrip,
         # codec semantics / stats / selection
         "rle_runs": Q.q_rle_runs,
         "delta_encode": Q.q_delta_encode,
@@ -198,6 +199,8 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN event_id % 7 = 0 THEN event_id END AS id2,
                    user_id AS kv_uid
             FROM events""",
+        "uint_roundtrip":
+            "SELECT l_orderkey, l_partkey, l_quantity FROM lineitem",
         "list_roundtrip": """
             SELECT vec_id, CAST(label AS BIGINT) AS label,
                    CAST(len(embedding) AS BIGINT) AS dim,

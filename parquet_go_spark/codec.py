@@ -53,6 +53,11 @@ _DT_BIN, _DT_DEC128 = 14, 15
 # the Spark-side equivalent of Dremel def/rep levels
 _DT_LIST, _DT_STRUCT, _DT_MAP = 16, 17, 18
 _NESTED_DTS = (_DT_LIST, _DT_STRUCT, _DT_MAP)
+# unsigned + half-float surface (parquet.thrift:471-497 uint logical
+# types; FLOAT16 per the 2.10 spec addition). Unsigned values ride the
+# int64 kernels via wrap-safe two's-complement views — uint64 above
+# 2^63 wraps on encode and wraps back on decode, bit-exact.
+_DT_U8, _DT_U16, _DT_U32, _DT_U64, _DT_F16 = 19, 20, 21, 22, 23
 
 # codec codes
 _C_PLAIN, _C_PLAIN_STR, _C_DICT, _C_RLE, _C_DELTA, _C_FOR, _C_BSS, _C_FSST, _C_BOOL = (
@@ -114,6 +119,16 @@ def _dtype_code(t: pa.DataType) -> int:
         return _DT_BIN
     if pa.types.is_decimal128(t):
         return _DT_DEC128
+    if pa.types.is_uint8(t):
+        return _DT_U8
+    if pa.types.is_uint16(t):
+        return _DT_U16
+    if pa.types.is_uint32(t):
+        return _DT_U32
+    if pa.types.is_uint64(t):
+        return _DT_U64
+    if pa.types.is_float16(t):
+        return _DT_F16
     if pa.types.is_map(t):
         return _DT_MAP
     if pa.types.is_struct(t):
@@ -130,12 +145,25 @@ _ARROW_TYPES = {
     _DT_DATE32: pa.date32(), _DT_INT16: pa.int16(), _DT_INT8: pa.int8(),
     _DT_LIST_F32: pa.list_(pa.float32()), _DT_LIST_F64: pa.list_(pa.float64()),
     _DT_BIN: pa.binary(),  # decimal128 type is rebuilt from body params
+    _DT_U8: pa.uint8(), _DT_U16: pa.uint16(), _DT_U32: pa.uint32(),
+    _DT_U64: pa.uint64(), _DT_F16: pa.float16(),
 }
 _NUMPY_TYPES = {
     _DT_INT32: np.int32, _DT_INT64: np.int64, _DT_F32: np.float32,
     _DT_F64: np.float64, _DT_TS_UTC: np.int64, _DT_TS_NAIVE: np.int64,
     _DT_DATE32: np.int32, _DT_INT16: np.int16, _DT_INT8: np.int8,
+    _DT_U8: np.uint8, _DT_U16: np.uint16, _DT_U32: np.uint32,
+    _DT_U64: np.uint64, _DT_F16: np.float16,
 }
+
+
+def _as_i64(v: np.ndarray) -> np.ndarray:
+    """int64 form for the integer kernels: uint64 views wrap-safe
+    (two's complement — decode wraps back bit-exactly), everything else
+    widens losslessly."""
+    if v.dtype == np.uint64:
+        return v.view(np.int64)
+    return v.astype(np.int64)
 
 
 def _num_values(arr: pa.Array) -> np.ndarray:
@@ -353,25 +381,26 @@ def _encode_values(arr: pa.Array, dt: int, codec: int) -> bytes:
     if codec == _C_PLAIN:
         return np.ascontiguousarray(v).astype(v.dtype.newbyteorder("<")).tobytes()
     if codec == _C_DELTA:
-        return delta_encode(v.astype(np.int64))
+        return delta_encode(_as_i64(v))
     if codec == _C_FOR:
-        return for_encode(v.astype(np.int64))
+        return for_encode(_as_i64(v))
     if codec == _C_PFOR:
         from .kernels.pfor import pfor_encode
 
-        return pfor_encode(v.astype(np.int64))
+        return pfor_encode(_as_i64(v))
     if codec == _C_DELTAP:
         from .kernels.pfor import pfor_encode
 
-        v64 = v.astype(np.int64)
+        v64 = _as_i64(v)
         if len(v64) == 0:
             return struct.pack("<Qq", 0, 0)
         u = v64.view(np.uint64)
         diffs = (u[1:] - u[:-1]).view(np.int64)  # wrap-safe
         return struct.pack("<Qq", len(v64), int(v64[0])) + pfor_encode(diffs)
     if codec == _C_RLE:
-        ref = int(v.min()) if len(v) else 0
-        shifted = (v.astype(np.int64).view(np.uint64)
+        v64 = _as_i64(v)
+        ref = int(v64.min()) if len(v64) else 0
+        shifted = (v64.view(np.uint64)
                    - np.int64(ref).astype(np.uint64))
         return struct.pack("<q", ref) + rle_encode(shifted)
     if codec == _C_BSS:

@@ -67,7 +67,10 @@ def _canon_scalar(v):
     if isinstance(v, (bool, np.bool_)):
         return ("i", int(v))
     if isinstance(v, (int, np.integer)):
-        return ("i", int(v)) if _I64_MIN <= int(v) <= _I64_MAX else ("s", str(v))
+        # wrap out-of-range ints into two's complement — matches the
+        # build side's uint64→int64 view, so a huge uint64 probe still
+        # lands in the same domain (no false negative)
+        return ("i", ((int(v) + (1 << 63)) % (1 << 64)) - (1 << 63))
     if isinstance(v, (float, np.floating)):
         f = float(v)
         if f.is_integer() and _I64_MIN <= f <= _I64_MAX:

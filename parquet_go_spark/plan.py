@@ -58,6 +58,14 @@ def profile_array(arr: pa.Array, name: str = "", sample: int = 65536) -> ColumnS
     if (pa.types.is_list(t) or pa.types.is_large_list(t)
             or pa.types.is_struct(t) or pa.types.is_map(t)):
         return st  # nested: offsets/children profiled recursively
+    if pa.types.is_float16(t):
+        # arrow compute has no halffloat kernels — numpy stats
+        v = (arr.drop_null() if nulls else arr).to_numpy(zero_copy_only=False)
+        if len(v):
+            st.min_val = float(v.min())
+            st.max_val = float(v.max())
+            st.n_distinct = len(np.unique(v[:sample]))
+        return st
     a = arr.drop_null() if nulls else arr
     # sample for the expensive stats on very large chunks
     s = a.slice(0, sample) if len(a) > sample else a
@@ -176,7 +184,7 @@ def choose_codec(st: ColumnStats) -> tuple[str, str]:
         except ImportError:
             return "plain", "zstd"
 
-    if t in ("float", "double"):
+    if t in ("float", "double", "halffloat"):
         return "bss", "zstd"
 
     # ints / timestamps / dates

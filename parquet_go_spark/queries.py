@@ -195,6 +195,51 @@ def q_list_roundtrip(spark, sf_dir):
     )
 
 
+def q_uint_roundtrip(spark, sf_dir):
+    """Unsigned + half-float surface (parquet.thrift:471-497 uint
+    logical types; FLOAT16): Spark has no unsigned types, so the cast
+    happens at the Arrow layer inside the kernel — l_orderkey shifted
+    above the int64 boundary as uint64 (wrap-safe kernels), l_partkey
+    as uint32, l_quantity as float16 (its 1..50 integral values are
+    f16-exact), each auto-codec round-tripped and cast back."""
+    df = _lineitem(spark, sf_dir).select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    schema = df.schema
+
+    def rt(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        from .codec import decode_array, encode_array
+        from .plan import choose_codec, profile_array
+
+        def trip(arr):
+            c, e = choose_codec(profile_array(arr, "u"))
+            return decode_array(encode_array(arr, c, e))
+
+        for b in batches:
+            ok = b.column(0).to_numpy(zero_copy_only=False)
+            pk = b.column(1).to_numpy(zero_copy_only=False)
+            qt = b.column(2).to_numpy(zero_copy_only=False)
+            u64 = pa.array(ok.astype(np.uint64) + np.uint64(1 << 63),
+                           pa.uint64())
+            u32 = pa.array(pk.astype(np.uint32), pa.uint32())
+            f16 = pa.array(qt.astype(np.float16), pa.float16())
+            back_ok = (trip(u64).to_numpy(zero_copy_only=False)
+                       - np.uint64(1 << 63)).astype(np.int64)
+            back_pk = trip(u32).to_numpy(zero_copy_only=False).astype(np.int64)
+            back_qt = trip(f16).to_numpy(zero_copy_only=False).astype(np.float64)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(back_ok, pa.int64()),
+                 pa.array(back_pk, pa.int64()),
+                 pa.array(back_qt, pa.float64())],
+                names=["l_orderkey", "l_partkey", "l_quantity"],
+            )
+
+    return df.mapInArrow(rt, schema)
+
+
 # ------------------------------------------------------------- semantics
 
 def q_rle_runs(spark, sf_dir):

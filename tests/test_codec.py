@@ -322,3 +322,41 @@ def test_selector_unsorted_hicard_string_still_fsst():
                                       rng.integers(0, 99999, 4000))]
     st = profile_array(pa.array(words), "text")
     assert choose_codec(st)[0] == "fsst"
+
+
+def test_uint_and_float16_matrix():
+    """uint8..64 + float16 across the numeric codecs (uint64 above
+    2^63 must wrap-safe round-trip bit-exactly)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from parquet_go_spark.codec import content_crc
+    from parquet_go_spark.plan import choose_codec, profile_array
+
+    rng = np.random.default_rng(9)
+    cases = {
+        pa.uint8(): rng.integers(0, 255, 5000, dtype=np.uint8),
+        pa.uint16(): rng.integers(0, 1 << 16, 5000, dtype=np.uint16),
+        pa.uint32(): rng.integers(0, 1 << 32, 5000, dtype=np.uint32),
+        pa.uint64(): rng.integers(0, 1 << 63, 5000, dtype=np.uint64)
+        + np.uint64(1 << 63),  # straddle the int64 boundary
+        pa.float16(): rng.standard_normal(5000).astype(np.float16),
+    }
+    for t, vals in cases.items():
+        arr = pa.array(vals, type=t)
+        # auto-selected codec
+        c, e = choose_codec(profile_array(arr, "u"))
+        blob = encode_array(arr, c, e)
+        assert decode_array(blob).equals(arr), (t, c)
+        assert content_crc(arr) == content_crc(decode_array(blob))
+        # forced kernels
+        codecs = (["bss", "plain"] if pa.types.is_float16(t)
+                  else ["plain", "for", "delta", "pfor", "deltap", "dict"])
+        for c2 in codecs:
+            blob2 = encode_array(arr, c2, "none")
+            assert decode_array(blob2).equals(arr), (t, c2)
+        # with nulls
+        mask = np.zeros(len(vals), dtype=bool)
+        mask[::7] = True
+        narr = pa.array(vals, type=t, mask=mask)
+        assert decode_array(encode_array(narr, "plain", "zstd")).equals(narr)
