@@ -60,6 +60,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nested_roundtrip": Q.q_nested_roundtrip,
         "list_roundtrip": Q.q_list_roundtrip,
         "uint_roundtrip": Q.q_uint_roundtrip,
+        "json_source": Q.q_json_source,
         # codec semantics / stats / selection
         "rle_runs": Q.q_rle_runs,
         "delta_encode": Q.q_delta_encode,
@@ -201,6 +202,8 @@ def oracle_sql() -> dict[str, str]:
             FROM events""",
         "uint_roundtrip":
             "SELECT l_orderkey, l_partkey, l_quantity FROM lineitem",
+        "json_source":
+            "SELECT doc_id, lang, text, n_chars AS nc FROM documents",
         "list_roundtrip": """
             SELECT vec_id, CAST(label AS BIGINT) AS label,
                    CAST(len(embedding) AS BIGINT) AS dim,

@@ -195,6 +195,33 @@ def q_list_roundtrip(spark, sf_dir):
     )
 
 
+def q_json_source(spark, sf_dir):
+    """JSON record source (S5): documents serialized to JSON-lines
+    (nested meta struct included), re-read with an explicit schema via
+    the built-in JSON datasource, then the embedded payload re-parsed
+    with from_json — JSON → schema-directed columns both ways."""
+    from . import sources
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    js = docs.select(
+        F.to_json(
+            F.struct(
+                "doc_id", "lang", "text",
+                F.struct(F.col("n_chars").alias("nc")).alias("meta"),
+            )
+        ).alias("payload")
+    )
+    wd = tempfile.mkdtemp(prefix="pgs_json_")
+    js.write.mode("overwrite").text(wd)
+    parsed = sources.json_records(
+        spark, wd,
+        "doc_id long, lang string, text string, meta struct<nc: bigint>",
+    )
+    return parsed.select(
+        "doc_id", "lang", "text", F.col("meta.nc").alias("nc")
+    )
+
+
 def q_uint_roundtrip(spark, sf_dir):
     """Unsigned + half-float surface (parquet.thrift:471-497 uint
     logical types; FLOAT16): Spark has no unsigned types, so the cast

@@ -35,15 +35,33 @@ is manifest-level and the fine filter is this `Filter` node.""",
 the 5 query vectors are broadcast to every executor, so the 500-row
 (at 100 TB: billions-row) embedding side never shuffles. The cosine
 arithmetic (`zip_with`/`aggregate`) stays in the JVM (no Python).""",
-    "dedup_ngram": """Shingle inverted-index self-join: two `Exchange
-hashpartitioning(shingle)` for the equi-join, then
-hash-aggregates for the pair counts. AQE will coalesce the
-post-shuffle partitions at runtime; at scale the stop-shingle filter
-(drop shingles with document frequency above a cap) bounds the
-worst-case fan-out before this join.""",
-    "rle_runs": """A single-partition window (`Window [lag(...)]` over a global sort)
-— deliberate at oracle scale; the production run-detection happens
-inside the encode kernel per chunk, not through this plan.""",
+    "dedup_ngram": """Shingle inverted-index self-join with the stop-shingle cap CODED
+into the plan: a document-frequency aggregate feeds a semi-join-shaped
+filter (`df <= max_shingle_df`) BEFORE the pair self-join, so one
+ubiquitous shingle can no longer fan out O(df²) pairs or hot-key the
+shuffle. AQE coalesces the post-shuffle partitions at runtime.""",
+    "rle_runs": """Two-level run counting — NO `Exchange SinglePartition` anywhere:
+`Exchange rangepartitioning(l_orderkey, l_linenumber)` + per-partition
+sort feeds a vectorized Arrow kernel emitting per-partition run
+partials; the only window (`Window [lag(last_flag)]`) runs over the
+O(partitions) boundary table, whose size is the partition count, not
+the data.""",
+    "profile_stats": """ONE scan: `Expand` + a single `HashAggregate` computes count,
+11 null-counts and 11 exact distincts together (Catalyst's
+multi-distinct expansion), then `Generate stack(...)` unpivots. The
+old shape ran 11 separate jobs over the same table. The final
+`Exchange SinglePartition` merges the 35 partial-aggregate buffers
+into the one output row — the unavoidable (and O(partitions)-sized)
+tail of any global aggregate, not a data shuffle.""",
+    "simhash": """Entirely JVM-side: explode → xxhash64 → ONE partial-aggregated
+`HashAggregate` with 64 sum(±1) bit votes (map-side combine before the
+doc_id exchange), signature assembled from disjoint shiftleft bits in
+the projection. No BatchEvalPython / ArrowEvalPython node anywhere —
+the old per-document applyInPandas fold is gone.""",
+    "dedup_embedding": """LSH blocking replaces the old `CartesianProduct`: signatures from a
+vectorized `MapInPandas`, candidates from a (tbl, bucket) equi-join
+(`Exchange hashpartitioning(tbl, bucket)`), exact cosine rerank only
+on same-bucket pairs. Shuffle volume O(n·tables), not O(n²).""",
 }
 
 
@@ -88,10 +106,16 @@ def main() -> int:
          Q.q_chunk_skip_filter(spark, SF)),
         ("ann_cosine", "Broadcast similarity search",
          P.ann_cosine_topk(spark, SF)),
-        ("dedup_ngram", "Shingle-join near-dup",
+        ("dedup_ngram", "Shingle-join near-dup (stop-shingle capped)",
          P.dedup_ngram_jaccard(spark, SF)),
-        ("rle_runs", "Run segmentation window",
+        ("rle_runs", "Run segmentation, two-level (no SinglePartition)",
          Q.q_rle_runs(spark, SF)),
+        ("profile_stats", "Per-column profile, one scan",
+         Q.q_profile_stats(spark, SF)),
+        ("simhash", "SimHash, JVM-side bit votes",
+         P.simhash(spark, SF)),
+        ("dedup_embedding", "Embedding near-dup, LSH-blocked",
+         P.dedup_embedding(spark, SF)),
     ]
 
     out = ["# PLANS — physical plans of the key paths\n",

@@ -448,3 +448,22 @@ def test_sharded_manifest_append_rewrites_one_shard(spark, tmp_path):
     # data intact across both snapshots
     assert table.read_table(spark, out).count() == df.count() + 50
     assert table.read_table(spark, out, snapshot_id=0).count() == df.count()
+
+
+def test_json_source_nested_and_missing_fields(spark):
+    """S5: schema-directed JSON parsing — nested structs populate,
+    missing fields become null, no inference."""
+    from parquet_go_spark import sources
+
+    rows = [
+        ('{"conv_id":"c1","turn_idx":0,"meta":{"tool":"sql","ok":true},'
+         '"tags":["a","b"]}',),
+        ('{"conv_id":"c2","turn_idx":3}',),
+    ]
+    df = spark.createDataFrame(rows, "payload string")
+    ddl = ("conv_id string, turn_idx int, "
+           "meta struct<tool: string, ok: boolean>, tags array<string>")
+    got = sources.parse_json_column(df, "payload", ddl).collect()
+    by = {r["conv_id"]: r for r in got}
+    assert by["c1"]["meta"]["tool"] == "sql" and by["c1"]["tags"] == ["a", "b"]
+    assert by["c2"]["meta"] is None and by["c2"]["tags"] is None
