@@ -75,6 +75,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resume_from_manifest": Q.q_resume_from_manifest,
         "resume_stale_values": Q.q_resume_stale_values,
         "stream_ingest": Q.q_stream_ingest,
+        "stream_window_agg": Q.q_stream_window_agg,
         "locality_roundtrip": Q.q_locality_roundtrip,
         "compact_roundtrip": Q.q_compact_roundtrip,
         "schema_evolution": Q.q_schema_evolution,
@@ -95,6 +96,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": P.token_count,
         "doc_fingerprint": P.doc_fingerprint,
         "multimodal_meta": P.multimodal_meta,
+        "sessionize": P.sessionize,
     }
 
 
@@ -249,6 +251,32 @@ def oracle_sql() -> dict[str, str]:
             "l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate "
             "FROM lineitem",
         "stream_ingest": "SELECT * FROM lineitem",
+        "stream_window_agg": """
+            SELECT to_timestamp(floor(epoch(ts)/3600)*3600) AS w_start,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(sum(event_id) AS BIGINT) AS sum_event_id
+            FROM events GROUP BY 1""",
+        "sessionize": """
+            WITH g AS (
+                SELECT user_id, event_id, epoch_us(ts) AS us,
+                       CASE WHEN lag(epoch_us(ts)) OVER
+                                (PARTITION BY user_id ORDER BY ts, event_id)
+                                IS NULL
+                            OR epoch_us(ts) - lag(epoch_us(ts)) OVER
+                                (PARTITION BY user_id ORDER BY ts, event_id)
+                                > 30*60*1000000
+                            THEN 1 ELSE 0 END AS new_sess
+                FROM events),
+            s AS (SELECT user_id, event_id, us,
+                         sum(new_sess) OVER
+                             (PARTITION BY user_id ORDER BY us, event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_idx
+                  FROM g)
+            SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   min(event_id) AS first_event,
+                   max(us) - min(us) AS duration_us
+            FROM s GROUP BY user_id, session_idx""",
         "locality_roundtrip": "SELECT * FROM lineitem",
         "compact_roundtrip": "SELECT * FROM lineitem",
         "schema_evolution":

@@ -395,6 +395,44 @@ def ann_lsh_topk(spark, sf_dir, n_queries: int = 5, k: int = 10):
     )
 
 
+def sessionize(spark, sf_dir, gap_minutes: int = 30):
+    """Gap-based sessionization of the event stream (the conversation/
+    agent-session segmentation a transcript pipeline runs constantly):
+    a new session starts when a user's inter-event gap exceeds
+    ``gap_minutes``. Entirely built-ins — lag + cumulative sum windows
+    PARTITIONED BY user_id (the natural key), so the only shuffle is
+    one hash exchange on user_id and no per-group Python exists.
+    Output: one row per session with exact integer duration (µs)."""
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).select(
+        "user_id", "event_id",
+        F.col("ts").cast("timestamp").alias("ts"),  # NTZ → UTC instant
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = gap_minutes * 60 * 1_000_000
+    us = F.unix_micros("ts")
+    new_sess = F.when(
+        F.lag(us).over(w).isNull()
+        | ((us - F.lag(us).over(w)) > gap_us),
+        1,
+    ).otherwise(0)
+    with_sess = ev.withColumn(
+        "session_idx",
+        F.sum(new_sess).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        with_sess.groupBy("user_id", "session_idx")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("event_id").alias("first_event"),
+            (F.max(us) - F.min(us)).alias("duration_us"),
+        )
+        .select("user_id", "session_idx", "n_events", "first_event",
+                "duration_us")
+    )
+
+
 # ---------------------------------------------------------- text analysis
 
 LANG_MARKERS = {

@@ -666,6 +666,35 @@ def q_stream_ingest(spark, sf_dir):
     return table.read_table(spark, tbl_dir)
 
 
+def q_stream_window_agg(spark, sf_dir):
+    """Structured-Streaming event-time windowed aggregation: events
+    split into 3 files → file-source micro-batches → tumbling 1-hour
+    windows with watermark → memory sink; the finished table must equal
+    the batch/SQL computation exactly (integer aggregates)."""
+    import pyarrow.parquet as pq
+
+    from . import streaming
+
+    wd = tempfile.mkdtemp(prefix="pgs_swin_")
+    src = os.path.join(wd, "src")
+    os.makedirs(src)
+    t = pq.read_table(os.path.join(sf_dir, "events.parquet"))
+    step = (t.num_rows + 2) // 3
+    for i in range(0, t.num_rows, step):
+        pq.write_table(t.slice(i, step), os.path.join(src, f"f{i // step}.parquet"))
+    schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withColumn("ts", F.col("ts").cast("timestamp"))  # NTZ → instant
+    )
+    qn = f"windowed_stats_{os.path.basename(wd)}"
+    q = streaming.windowed_stats_stream(stream, query_name=qn)
+    q.awaitTermination(300)
+    return spark.table(qn)
+
+
 def q_bloom_point_lookup(spark, sf_dir):
     """Point lookup through bloom + min/max pruning + blob-level row
     filter (M6 parity, parquet.thrift:752-795): the returned rows are

@@ -25,7 +25,42 @@ from pyspark.sql import DataFrame
 
 from . import table
 
-__all__ = ["encode_stream"]
+__all__ = ["encode_stream", "windowed_stats_stream"]
+
+
+def windowed_stats_stream(
+    stream_df: DataFrame,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    query_name: str = "windowed_stats",
+):
+    """Event-time windowed aggregation over a stream (SURVEY §2.8
+    streaming row): tumbling windows on the event timestamp with a
+    watermark bounding state for late data. Exact integer aggregates
+    (count + sum of event ids) so the result is oracle-comparable.
+
+    Complete output mode to a memory sink for the harness; in
+    production swap the sink and use append mode — the watermark then
+    finalizes each window ``watermark`` after its close, which is what
+    bounds the state store at the 10¹²-event frame."""
+    from pyspark.sql import functions as F
+
+    agg = (
+        stream_df.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("w"))
+        .agg(F.count("*").alias("n_events"),
+             F.sum("event_id").alias("sum_event_id"))
+        .select(F.col("w.start").alias("w_start"), "n_events",
+                "sum_event_id")
+    )
+    return (
+        agg.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
 
 
 def encode_stream(
