@@ -101,33 +101,21 @@ def make_decode_fn(columns: list[str], verify_crc: bool = True,
     fetch_cols = list(dict.fromkeys(filter_cols + columns))
     column_types = column_types or {}
 
-    def _decode_blob(t, by_col, name, fpath):
-        if name not in by_col:
-            if name in column_types:
-                n_rows = t.column("n_values")[0].as_py() if t.num_rows else 0
-                return pa.nulls(n_rows, column_types[name])
-            raise KeyError(f"column {name!r} not in chunk {fpath}")
-        i = by_col[name]
-        blob = t.column("blob")[i].as_py()
-        if verify_crc:
-            expect = t.column("crc32")[i].as_py()
-            if zlib.crc32(blob) != expect:
-                raise IOError(f"CRC mismatch for {name} in {fpath}")
-        return decode_array(blob)
-
-    def _verify_embedded_entry(t: pa.Table, fpath: str, expect: dict) -> None:
+    def _read_entry(fpath: str) -> dict:
         import json
 
-        meta = t.schema.metadata or {}
+        meta = pq.read_schema(fpath).metadata or {}
         raw = meta.get(b"pgs_manifest_entry")
-        emb = json.loads(raw) if raw else {}
+        return json.loads(raw) if raw else {}
+
+    def _verify_entry(entry: dict, fpath: str, expect: dict) -> None:
         for k, want in expect.items():
             if want is None:
                 continue
-            if emb.get(k) != want:
+            if entry.get(k) != want:
                 raise IOError(
                     f"chunk file {fpath} does not match its manifest entry "
-                    f"({k}: file has {emb.get(k)!r}, snapshot expects "
+                    f"({k}: file has {entry.get(k)!r}, snapshot expects "
                     f"{want!r}) — the file was rewritten after this "
                     f"snapshot was taken"
                 )
@@ -135,26 +123,58 @@ def make_decode_fn(columns: list[str], verify_crc: bool = True,
     def decode_partition(batches):
         import pyarrow.compute as pc
 
+        from .encode import BLOB_COL_PREFIX
+
         for b in batches:
             names = set(b.schema.names)
             expect_cols = [c for c in ("chunk_id", "data_crc", "enc_bytes")
                            if c in names]
             for row in range(b.num_rows):
                 fpath = b.column("file")[row].as_py()
-                t = pq.read_table(fpath)
+                # footer-only read: embedded entry + available blob cols
+                entry = _read_entry(fpath)
                 if expect_cols:
-                    _verify_embedded_entry(
-                        t, fpath,
+                    _verify_entry(
+                        entry, fpath,
                         {c: b.column(c)[row].as_py() for c in expect_cols},
                     )
-                by_col = {
-                    t.column("column")[i].as_py(): i for i in range(t.num_rows)
-                }
+                have = set(entry.get("columns", {}))
+                present = [c for c in fetch_cols if c in have]
+                absent = [c for c in fetch_cols if c not in have]
+                for name in absent:  # schema evolution: null-fill
+                    if name not in column_types:
+                        raise KeyError(
+                            f"column {name!r} not in chunk {fpath}"
+                        )
+                # columnar projection: ONLY the requested blob columns'
+                # bytes are read from storage (P1 on disk)
+                t = (
+                    pq.read_table(
+                        fpath,
+                        columns=[BLOB_COL_PREFIX + c for c in present],
+                    )
+                    if present
+                    else None
+                )
+
+                def _decode_blob(name):
+                    if name in absent:
+                        return pa.nulls(entry.get("n_rows", 0),
+                                        column_types[name])
+                    blob = t.column(BLOB_COL_PREFIX + name)[0].as_py()
+                    if verify_crc:
+                        expect_crc = entry["columns"][name]["crc32"]
+                        if zlib.crc32(blob) != expect_crc:
+                            raise IOError(
+                                f"CRC mismatch for {name} in {fpath}"
+                            )
+                    return decode_array(blob)
+
                 decoded: dict[str, pa.Array] = {}
                 mask = None
                 skip = False
                 for name in filter_cols:
-                    arr = _decode_blob(t, by_col, name, fpath)
+                    arr = _decode_blob(name)
                     decoded[name] = arr
                     lo, hi = row_filter[name]
                     m = None
@@ -173,7 +193,7 @@ def make_decode_fn(columns: list[str], verify_crc: bool = True,
                 arrays = []
                 for name in fetch_cols:
                     if name not in decoded:
-                        decoded[name] = _decode_blob(t, by_col, name, fpath)
+                        decoded[name] = _decode_blob(name)
                 for name in columns:
                     arr = decoded[name]
                     if mask is not None:

@@ -33,25 +33,18 @@ from . import manifest
 from .codec import content_crc, encode_array
 from .plan import choose_codec, profile_array
 
-__all__ = ["make_encode_fn", "CHUNK_FILE_SCHEMA"]
+__all__ = ["make_encode_fn", "BLOB_COL_PREFIX"]
 
-CHUNK_FILE_SCHEMA = pa.schema(
-    [
-        ("column", pa.string()),
-        ("codec", pa.string()),
-        ("entropy", pa.string()),
-        ("n_values", pa.int64()),
-        ("null_count", pa.int64()),
-        ("min", pa.string()),
-        ("max", pa.string()),
-        ("raw_bytes", pa.int64()),
-        ("enc_bytes", pa.int64()),
-        ("crc32", pa.int64()),
-        ("blob", pa.large_binary()),
-    ]
-)
+# Chunk file layout: ONE row, one parquet COLUMN per encoded blob
+# (named b_<column>). Parquet's columnar projection then means reading
+# 2 of 11 columns reads only those columns' bytes from storage — the
+# on-disk counterpart of P1 projection pushdown. All per-column
+# metadata (codec chain, stats, CRC) lives in the embedded manifest
+# entry (schema metadata), which read_schema fetches without touching
+# data pages.
 
 _MANIFEST_META_KEY = b"pgs_manifest_entry"
+BLOB_COL_PREFIX = "b_"
 
 
 def _encode_one_column(arr: pa.Array, name: str,
@@ -216,7 +209,7 @@ def make_encode_fn(table_dir: str, key_cols: tuple[str, ...],
                     )
                     continue
             t0 = time.time()
-            rows, columns_meta = [], {}
+            blobs, columns_meta = {}, {}
             for name in chunk.column_names:
                 arr = chunk.column(name).combine_chunks()
                 blob, meta = _encode_one_column(
@@ -224,18 +217,7 @@ def make_encode_fn(table_dir: str, key_cols: tuple[str, ...],
                     with_bloom=name in bloom_cols,
                 )
                 columns_meta[name] = meta
-                rows.append(
-                    {
-                        "column": name, "codec": meta["codec"],
-                        "entropy": meta["entropy"], "n_values": meta["n"],
-                        "null_count": meta["nulls"],
-                        "min": "" if meta["min"] is None else str(meta["min"]),
-                        "max": "" if meta["max"] is None else str(meta["max"]),
-                        "raw_bytes": meta["raw_bytes"],
-                        "enc_bytes": meta["enc_bytes"], "crc32": meta["crc32"],
-                        "blob": blob,
-                    }
-                )
+                blobs[BLOB_COL_PREFIX + name] = blob
             entry = {
                 "chunk_id": chunk_id,
                 "file": os.path.join("chunks", f"chunk-{chunk_id}.parquet"),
@@ -250,7 +232,10 @@ def make_encode_fn(table_dir: str, key_cols: tuple[str, ...],
                 "reused": False,
                 "encode_s": 0.0,
             }
-            ftbl = pa.Table.from_pylist(rows, schema=CHUNK_FILE_SCHEMA)
+            ftbl = pa.table(
+                {k: pa.array([v], pa.large_binary())
+                 for k, v in blobs.items()}
+            )
             entry["encode_s"] = round(time.time() - t0, 4)
             _write_chunk_file(fpath, ftbl, entry)
             yield pa.RecordBatch.from_pydict(

@@ -21,8 +21,8 @@ from . import manifest
 from .decode import make_decode_fn, prune_entries
 from .encode import make_encode_fn
 
-__all__ = ["write_table", "read_table", "compact", "verify_roundtrip",
-           "validate_schema", "TRANSCRIPT_DDL"]
+__all__ = ["write_table", "read_table", "compact", "count_rows",
+           "verify_roundtrip", "validate_schema", "TRANSCRIPT_DDL"]
 
 DEFAULT_ROWS_PER_CHUNK = 262_144
 DEFAULT_SALT_BLOCK = 65_536
@@ -328,6 +328,16 @@ def compact(
         "n_chunks": len(final_entries),
         "n_rows": sum(e["n_rows"] for e in final_entries),
     }
+
+
+def count_rows(table_dir: str, snapshot_id: int | None = None) -> int:
+    """Exact row count straight from the manifest — no Spark job, no
+    chunk I/O (the count-only fast path; Parquet readers do the same
+    from RowGroup.num_rows)."""
+    listing = manifest.load(table_dir, snapshot_id=snapshot_id)
+    if listing is None:
+        raise FileNotFoundError(f"no committed snapshot in {table_dir}")
+    return listing["n_rows"]
 
 
 def verify_roundtrip(source: DataFrame, decoded: DataFrame,

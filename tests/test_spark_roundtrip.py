@@ -245,14 +245,13 @@ def test_corrupted_chunk_detected(spark, transcripts, tmp_path):
     table.write_table(transcripts, out, num_chunks=2)
     victim = glob.glob(os.path.join(out, "chunks", "*.parquet"))[0]
     t = pq.read_table(victim)
-    blobs = t.column("blob").to_pylist()
-    b = bytearray(blobs[0])
-    b[len(b) // 2] ^= 0xFF
-    blobs[0] = bytes(b)
     import pyarrow as pa
 
+    name = t.column_names[0]  # one blob column per encoded column
+    b = bytearray(t.column(name)[0].as_py())
+    b[len(b) // 2] ^= 0xFF
     cols = {n: t.column(n) for n in t.column_names}
-    cols["blob"] = pa.array(blobs, pa.large_binary())
+    cols[name] = pa.array([bytes(b)], pa.large_binary())
     pq.write_table(
         pa.table(cols).replace_schema_metadata(t.schema.metadata),
         victim, compression="none",
