@@ -74,6 +74,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_point_lookup": Q.q_bloom_point_lookup,
         "resume_from_manifest": Q.q_resume_from_manifest,
         "resume_stale_values": Q.q_resume_stale_values,
+        "delete_rows": Q.q_delete_rows,
+        "upsert_values": Q.q_upsert_values,
         "stream_ingest": Q.q_stream_ingest,
         "stream_window_agg": Q.q_stream_window_agg,
         "locality_roundtrip": Q.q_locality_roundtrip,
@@ -248,6 +250,15 @@ def oracle_sql() -> dict[str, str]:
         "resume_stale_values":
             "SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, "
             "l_quantity + 100.0 AS l_quantity, l_extendedprice, "
+            "l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate "
+            "FROM lineitem",
+        "delete_rows":
+            "SELECT * FROM lineitem "
+            "WHERE l_orderkey NOT BETWEEN 10000 AND 20000",
+        "upsert_values":
+            "SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, "
+            "CASE WHEN l_orderkey <= 2000 THEN l_quantity + 500.0 "
+            "ELSE l_quantity END AS l_quantity, l_extendedprice, "
             "l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate "
             "FROM lineitem",
         "stream_ingest": "SELECT * FROM lineitem",

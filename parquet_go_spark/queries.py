@@ -721,6 +721,40 @@ def q_resume_from_manifest(spark, sf_dir):
     )
 
 
+def q_delete_rows(spark, sf_dir):
+    """Row-level delete with chunk rewrite: range-chunked write →
+    delete an l_orderkey band → only overlapping chunks rewritten
+    (manifest-pruned), decoded table equals the filtered source."""
+    df = _lineitem(spark, sf_dir)
+    hi_key = df.agg(F.max("l_orderkey")).collect()[0][0]
+    n_chunks = 8
+    block = max(1, math.ceil((hi_key + 1) / n_chunks))
+    out = os.path.join(tempfile.mkdtemp(prefix="pgs_del_"), "lineitem")
+    table.write_table(
+        df, out, key_cols=LINEITEM_KEY, num_chunks=n_chunks,
+        chunk_expr=F.floor(F.col("l_orderkey") / F.lit(block)),
+    )
+    info = table.delete_rows(spark, out,
+                             predicates={"l_orderkey": (10_000, 20_000)})
+    assert info["rewritten_chunks"] < n_chunks, info  # pruning worked
+    return table.read_table(spark, out)
+
+
+def q_upsert_values(spark, sf_dir):
+    """Key-based upsert (corrected-transcript case): rows with
+    l_orderkey ≤ 2000 get l_quantity + 500; only their hash chunks are
+    decoded/merged/re-encoded, the rest swap in untouched via the
+    append-mode manifest merge."""
+    df = _lineitem(spark, sf_dir)
+    out = os.path.join(tempfile.mkdtemp(prefix="pgs_ups_"), "lineitem")
+    table.write_table(df, out, key_cols=LINEITEM_KEY, num_chunks=8)
+    fixes = df.filter(F.col("l_orderkey") <= 2000).withColumn(
+        "l_quantity", F.col("l_quantity") + F.lit(500.0)
+    )
+    table.upsert_table(spark, out, fixes)
+    return table.read_table(spark, out)
+
+
 def q_resume_stale_values(spark, sf_dir):
     """Resume must NOT reuse a chunk whose non-key values changed: same
     keys, same row counts, but l_quantity shifted by +100 — the

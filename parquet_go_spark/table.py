@@ -22,7 +22,8 @@ from .decode import make_decode_fn, prune_entries
 from .encode import make_encode_fn
 
 __all__ = ["write_table", "read_table", "compact", "count_rows",
-           "verify_roundtrip", "validate_schema", "TRANSCRIPT_DDL"]
+           "delete_rows", "upsert_table", "verify_roundtrip",
+           "validate_schema", "TRANSCRIPT_DDL"]
 
 DEFAULT_ROWS_PER_CHUNK = 262_144
 DEFAULT_SALT_BLOCK = 65_536
@@ -327,6 +328,163 @@ def compact(
         "new_chunks": len(new_entries),
         "n_chunks": len(final_entries),
         "n_rows": sum(e["n_rows"] for e in final_entries),
+    }
+
+
+def _decode_entries_df(spark, table_dir, entries, schema) -> DataFrame:
+    """Decode a specific entry subset (internal: delete/upsert/compact)."""
+    import os
+
+    files = [os.path.join(table_dir, e["file"]) for e in entries]
+    par = min(len(files), spark.sparkContext.defaultParallelism)
+    files_df = spark.createDataFrame(
+        pd.DataFrame({"file": files}), "file string"
+    ).repartition(par)
+    try:
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        column_types = {f.name: f.type for f in to_arrow_schema(schema)}
+    except Exception:
+        column_types = {}
+    cols = [f.name for f in schema.fields]
+    return files_df.mapInArrow(
+        make_decode_fn(cols, column_types=column_types), schema
+    )
+
+
+def _predicate_cond(predicates: dict):
+    """{col: (lo, hi) | point} → Spark boolean Column (AND of ranges)."""
+    from .decode import normalize_predicate
+
+    cond = None
+    for col, p in predicates.items():
+        lo, hi, point = normalize_predicate(p)
+        c = None
+        if point is not None:
+            c = F.col(col) == F.lit(point)
+        else:
+            if lo is not None:
+                c = F.col(col) >= F.lit(lo)
+            if hi is not None:
+                ch = F.col(col) <= F.lit(hi)
+                c = ch if c is None else c & ch
+        if c is not None:
+            cond = c if cond is None else cond & c
+    return cond if cond is not None else F.lit(True)
+
+
+def delete_rows(spark: SparkSession, table_dir: str,
+                predicates: dict) -> dict:
+    """Row-level delete (Iceberg delete-with-rewrite parity): chunks
+    whose stats overlap the predicate are decoded, surviving rows
+    re-encoded under a fresh namespace, and ONE snapshot commits
+    keep + rewritten — untouched chunks (the overwhelming majority at
+    scale, thanks to manifest pruning) are not read at all."""
+    import os
+
+    listing = manifest.load(table_dir)
+    if listing is None:
+        raise FileNotFoundError(f"no committed snapshot in {table_dir}")
+    affected = prune_entries(listing["entries"], predicates)
+    affected_ids = {e["chunk_id"] for e in affected}
+    keep = [e for e in listing["entries"]
+            if e["chunk_id"] not in affected_ids]
+    if not affected:
+        return {"deleted_chunks": 0, "n_chunks": len(keep)}
+    schema = StructType(
+        [StructField(f.name, f.dataType, True, f.metadata)
+         for f in StructType.fromJson(json.loads(listing["schema_ddl"])).fields]
+    )
+    decoded = _decode_entries_df(spark, table_dir, affected, schema)
+    # NULL predicate values are "unknown" → NOT deleted (keep the row)
+    remaining = decoded.filter(
+        ~F.coalesce(_predicate_cond(predicates), F.lit(False))
+    )
+    key_cols = tuple(listing["extra"].get("key_cols")
+                     or ["conv_id", "turn_idx"])
+    prefix = f"d{listing['snapshot_id'] + 1:04d}-"
+    n_rows = sum(e["n_rows"] for e in affected)
+    new_entries, _ = _encode_entries(
+        remaining, table_dir, key_cols=key_cols,
+        num_chunks=max(1, math.ceil(n_rows / DEFAULT_ROWS_PER_CHUNK)),
+        rows_per_chunk=DEFAULT_ROWS_PER_CHUNK,
+        salt_block=DEFAULT_SALT_BLOCK, overrides=None, resume=False,
+        chunk_expr=None, chunk_prefix=prefix, bloom_cols=(), shuffle=True,
+    )
+    snap = manifest.commit(
+        table_dir, keep + new_entries, schema_ddl=listing["schema_ddl"],
+        extra={**listing["extra"],
+               "deleted_from": sorted(affected_ids)},
+    )
+    for e in affected:
+        try:
+            os.unlink(os.path.join(table_dir, e["file"]))
+        except OSError:
+            pass
+    return {
+        "snapshot_id": snap,
+        "rewritten_chunks": len(affected),
+        "untouched_chunks": len(keep),
+        "n_chunks": len(keep) + len(new_entries),
+    }
+
+
+def upsert_table(spark: SparkSession, table_dir: str,
+                 df: DataFrame) -> dict:
+    """Key-based upsert (the corrected-transcript case): rows in ``df``
+    replace same-key rows; new keys append. Hash chunking is
+    deterministic, so each upserted key maps to exactly one chunk id —
+    only those chunks are decoded, merged (anti-join on the key) and
+    re-encoded under their SAME ids; the append-mode commit swaps them
+    in. Untouched chunks: zero I/O. Requires a hash-chunked table
+    (default write mode). Historical snapshots referencing a replaced
+    chunk fail loudly on read (data_crc verify), as with compaction."""
+    listing = manifest.load(table_dir)
+    if listing is None:
+        raise FileNotFoundError(f"no committed snapshot in {table_dir}")
+    extra = listing["extra"]
+    if "num_chunks" not in extra:
+        raise ValueError("upsert requires a hash-chunked table")
+    num_chunks = extra["num_chunks"]
+    salt_block = extra.get("salt_block", DEFAULT_SALT_BLOCK)
+    key_cols = tuple(extra.get("key_cols") or ["conv_id", "turn_idx"])
+
+    salt = (
+        F.floor(F.col(key_cols[1]) / F.lit(salt_block))
+        if len(key_cols) > 1
+        else F.lit(0)
+    )
+    ck = F.pmod(F.xxhash64(F.col(key_cols[0]), salt), F.lit(num_chunks))
+    touched = {
+        f"{r[0]:06d}"
+        for r in df.select(ck.alias("_ck")).distinct().collect()
+    }
+    affected = [e for e in listing["entries"] if e["chunk_id"] in touched]
+    schema = StructType(
+        [StructField(f.name, f.dataType, True, f.metadata)
+         for f in StructType.fromJson(json.loads(listing["schema_ddl"])).fields]
+    )
+    old = (
+        _decode_entries_df(spark, table_dir, affected, schema)
+        if affected else spark.createDataFrame([], schema)
+    )
+    merged = old.join(df.select(*old.columns), on=list(key_cols),
+                      how="left_anti").unionByName(df.select(*old.columns))
+    new_entries, _ = _encode_entries(
+        merged, table_dir, key_cols=key_cols, num_chunks=num_chunks,
+        rows_per_chunk=DEFAULT_ROWS_PER_CHUNK, salt_block=salt_block,
+        overrides=None, resume=False, chunk_expr=None, chunk_prefix="",
+        bloom_cols=(), shuffle=True,
+    )
+    snap = manifest.commit(
+        table_dir, new_entries, schema_ddl=listing["schema_ddl"],
+        extra=extra, append=True,
+    )
+    return {
+        "snapshot_id": snap,
+        "rewritten_chunks": len(affected),
+        "new_chunks": len(new_entries) - len(affected),
+        "upserted_rows": df.count(),
     }
 
 

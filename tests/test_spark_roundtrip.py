@@ -466,3 +466,54 @@ def test_json_source_nested_and_missing_fields(spark):
     by = {r["conv_id"]: r for r in got}
     assert by["c1"]["meta"]["tool"] == "sql" and by["c1"]["tags"] == ["a", "b"]
     assert by["c2"]["meta"] is None and by["c2"]["tags"] is None
+
+
+def test_delete_rows_prunes_untouched_chunks(spark, transcripts, tmp_path):
+    """delete_rows must rewrite only chunks whose stats overlap the
+    predicate; untouched chunk files stay byte-identical on disk."""
+    import pyspark.sql.functions as F
+
+    out = str(tmp_path / "tbl")
+    table.write_table(transcripts, out, num_chunks=8)
+    before = {
+        os.path.basename(p): os.path.getmtime(p)
+        for p in glob.glob(os.path.join(out, "chunks", "*.parquet"))
+    }
+    target = "conv-00000003"
+    info = table.delete_rows(spark, out, predicates={"conv_id": target})
+    assert 1 <= info["rewritten_chunks"] < 8
+    after = {
+        os.path.basename(p): os.path.getmtime(p)
+        for p in glob.glob(os.path.join(out, "chunks", "*.parquet"))
+    }
+    untouched = set(before) & set(after)
+    assert len(untouched) >= 8 - info["rewritten_chunks"] - 1
+    assert all(before[f] == after[f] for f in untouched)
+    back = table.read_table(spark, out)
+    want = transcripts.filter(F.col("conv_id") != target)
+    assert table.verify_roundtrip(want, back, ("conv_id", "turn_idx"))[
+        "identical"
+    ]
+
+
+def test_upsert_replaces_and_appends(spark, transcripts, tmp_path):
+    """upsert_table: same-key rows replaced, new keys appended, only
+    the touched hash chunks rewritten."""
+    import pyspark.sql.functions as F
+
+    out = str(tmp_path / "tbl")
+    table.write_table(transcripts, out, num_chunks=6)
+    fixes = transcripts.filter(F.col("conv_id") == "conv-00000001") \
+        .withColumn("text", F.lit("REDACTED"))
+    new_rows = transcripts.filter(F.col("conv_id") == "conv-00000002") \
+        .withColumn("conv_id", F.lit("conv-99999999"))
+    info = table.upsert_table(spark, out, fixes.unionByName(new_rows))
+    assert info["rewritten_chunks"] >= 1
+    back = table.read_table(spark, out)
+    assert back.filter(F.col("conv_id") == "conv-00000001")
+    got_fix = back.filter(F.col("conv_id") == "conv-00000001") \
+        .select("text").distinct().collect()
+    assert [r["text"] for r in got_fix] == ["REDACTED"]
+    assert back.filter(F.col("conv_id") == "conv-99999999").count() \
+        == new_rows.count()
+    assert back.count() == transcripts.count() + new_rows.count()
