@@ -134,8 +134,24 @@ def _encode_entries(
         extra = {"mode": "locality", "key_cols": list(key_cols)}
     else:
         if num_chunks is None:
-            n = df.count()
-            num_chunks = max(1, math.ceil(n / rows_per_chunk))
+            # prefer Catalyst's size estimate (no extra job); fall back
+            # to an exact count. Both are deterministic for the same
+            # input, which resume's chunk-id stability requires.
+            num_chunks = None
+            try:
+                size = int(
+                    df._jdf.queryExecution().optimizedPlan().stats()
+                    .sizeInBytes().toString()
+                )
+                if 0 < size < (1 << 50):  # Catalyst "unknown" is huge
+                    # rows_per_chunk ≈ 64 MB of in-memory rows at the
+                    # transcript shape (~250 B/row)
+                    num_chunks = max(1, math.ceil(size / (64 << 20)))
+            except Exception:
+                pass
+            if num_chunks is None:
+                n = df.count()
+                num_chunks = max(1, math.ceil(n / rows_per_chunk))
         if chunk_expr is not None:
             ck = F.pmod(chunk_expr.cast("long"), F.lit(num_chunks))
         else:
