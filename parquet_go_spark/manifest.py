@@ -33,7 +33,8 @@ import os
 import tempfile
 from typing import Any
 
-__all__ = ["commit", "load", "list_chunk_files", "stat_value", "ENGINE_VERSION"]
+__all__ = ["commit", "load", "expire_snapshots", "list_chunk_files",
+           "stat_value", "ENGINE_VERSION"]
 
 ENGINE_VERSION = "parquet_go_spark-0.2.0"
 
@@ -204,6 +205,52 @@ def load(table_dir: str, snapshot_id: int | None = None) -> dict | None:
     listing["n_chunks"] = len(listing["entries"])
     listing["n_rows"] = sum(e["n_rows"] for e in listing["entries"])
     return listing
+
+
+def expire_snapshots(table_dir: str, keep: int = 2) -> dict:
+    """Iceberg expire_snapshots parity: retain the latest ``keep``
+    snapshots, delete older snapshot listings, manifest shards
+    referenced only by them, and chunk files no retained snapshot
+    references. Frees the space compaction/delete/upsert superseded
+    while keeping recent time travel intact."""
+    current = load(table_dir)
+    if current is None:
+        return {"expired_snapshots": 0, "deleted_chunks": 0}
+    mdir = os.path.join(table_dir, "_manifests")
+    snaps = sorted(
+        int(fn[len("snap-"):-len(".json")])
+        for fn in os.listdir(mdir)
+        if fn.startswith("snap-") and fn.endswith(".json")
+    )
+    retained = [s for s in snaps if s > current["snapshot_id"] - keep]
+    expired = [s for s in snaps if s not in retained]
+    keep_shards: set[str] = set()
+    keep_files: set[str] = set()
+    for s in retained:
+        listing = load(table_dir, snapshot_id=s)
+        for ref in listing.get("manifest_shards", []):
+            keep_shards.add(os.path.basename(ref["file"]))
+        for e in listing["entries"]:
+            keep_files.add(os.path.basename(e["file"]))
+    deleted_chunks = 0
+    cdir = os.path.join(table_dir, "chunks")
+    if os.path.isdir(cdir):
+        for fn in os.listdir(cdir):
+            if fn.endswith(".parquet") and fn not in keep_files:
+                os.unlink(os.path.join(cdir, fn))
+                deleted_chunks += 1
+    for fn in os.listdir(mdir):
+        if fn.startswith("snap-"):
+            sid = int(fn[len("snap-"):-len(".json")])
+            if sid in expired:
+                os.unlink(os.path.join(mdir, fn))
+        elif fn.startswith("manifest-") and fn not in keep_shards:
+            os.unlink(os.path.join(mdir, fn))
+    return {
+        "expired_snapshots": len(expired),
+        "retained_snapshots": retained,
+        "deleted_chunks": deleted_chunks,
+    }
 
 
 def list_chunk_files(table_dir: str) -> dict[str, str]:

@@ -1,0 +1,100 @@
+"""Property-based round-trip invariants (hypothesis): any typed value
+set the codec accepts must decode bit-identically under BOTH the
+auto-selected codec and every forced kernel, with or without nulls."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from parquet_go_spark.codec import content_crc, decode_array, encode_array
+from parquet_go_spark.plan import choose_codec, profile_array
+
+I64 = st.integers(min_value=-(2**63), max_value=2**63 - 1)
+SMALL = st.integers(min_value=-(2**40), max_value=2**40)
+
+
+def _roundtrip(arr: pa.Array, codec=None) -> None:
+    if codec is None:
+        codec = choose_codec(profile_array(arr, "p"))
+    blob = encode_array(arr, *codec)
+    back = decode_array(blob)
+    assert back.equals(arr), (codec, arr, back)
+    assert content_crc(arr) == content_crc(back)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.one_of(st.none(), I64), max_size=300))
+def test_int64_all_kernels(vals):
+    arr = pa.array(vals, pa.int64())
+    _roundtrip(arr)
+    for c in ("plain", "for", "delta", "pfor", "deltap", "rle", "dict"):
+        _roundtrip(arr, (c, "none"))
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.one_of(st.none(), st.text(max_size=40)), max_size=200))
+def test_strings_all_kernels(vals):
+    arr = pa.array(vals, pa.string())
+    _roundtrip(arr)
+    for c, e in (("plain", "zstd"), ("dict", "none"), ("fsst", "none"),
+                 ("prefix", "zlib")):
+        _roundtrip(arr, (c, e))
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(
+    st.one_of(st.none(),
+              st.floats(allow_nan=False, allow_infinity=True, width=64)),
+    max_size=200,
+))
+def test_doubles(vals):
+    arr = pa.array(vals, pa.float64())
+    _roundtrip(arr)
+    _roundtrip(arr, ("bss", "zstd"))
+    _roundtrip(arr, ("plain", "none"))
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(
+    st.one_of(st.none(), st.lists(st.one_of(st.none(), SMALL), max_size=8)),
+    max_size=60,
+))
+def test_nested_list_int(vals):
+    arr = pa.array(vals, pa.list_(pa.int64()))
+    _roundtrip(arr)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(
+    st.one_of(
+        st.none(),
+        st.fixed_dictionaries(
+            {"a": st.one_of(st.none(), SMALL),
+             "b": st.one_of(st.none(), st.text(max_size=12))}
+        ),
+    ),
+    max_size=60,
+))
+def test_nested_struct(vals):
+    arr = pa.array(
+        vals, pa.struct([("a", pa.int64()), ("b", pa.string())])
+    )
+    _roundtrip(arr)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.one_of(st.none(), st.booleans()), max_size=200))
+def test_bools(vals):
+    _roundtrip(pa.array(vals, pa.bool_()))
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=2**64 - 1), max_size=200))
+def test_uint64_wrap_safe(vals):
+    arr = pa.array(np.array(vals, dtype=np.uint64), pa.uint64())
+    _roundtrip(arr)
+    for c in ("plain", "for", "pfor", "deltap"):
+        _roundtrip(arr, (c, "none"))

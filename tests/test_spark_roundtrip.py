@@ -517,3 +517,34 @@ def test_upsert_replaces_and_appends(spark, transcripts, tmp_path):
     assert back.filter(F.col("conv_id") == "conv-99999999").count() \
         == new_rows.count()
     assert back.count() == transcripts.count() + new_rows.count()
+
+
+def test_expire_snapshots_gc(spark, tmp_path):
+    """expire_snapshots: old snapshots + superseded chunk files are
+    deleted; retained snapshots (incl. time travel) stay readable."""
+    df = make_transcripts_df(spark, n_conv=40, seed=51)
+    out = str(tmp_path / "tbl")
+    table.write_table(df, out, num_chunks=2, chunk_prefix="v1-")
+    table.write_table(df.limit(100), out, num_chunks=1, chunk_prefix="v2-",
+                      append=True)
+    table.write_table(df.limit(10), out, num_chunks=1, chunk_prefix="v3-",
+                      append=True)
+    # supersede v1 entirely: rewrite without those chunk ids
+    listing = manifest.load(out)
+    survivors = [e for e in listing["entries"]
+                 if not e["chunk_id"].startswith("v1-")]
+    manifest.commit(out, survivors, schema_ddl=listing["schema_ddl"],
+                    extra=listing["extra"])
+    # keep=2 retains snap 2 (which still references v1) → no GC yet
+    res2 = manifest.expire_snapshots(out, keep=2)
+    assert res2["deleted_chunks"] == 0
+    assert table.read_table(spark, out,
+                            snapshot_id=manifest.load(out)["snapshot_id"] - 1
+                            ).count() > 0  # retained time travel works
+    # keep=1: only the current snapshot survives → v1 chunks GC'd
+    res1 = manifest.expire_snapshots(out, keep=1)
+    assert res1["expired_snapshots"] >= 1
+    assert res1["deleted_chunks"] >= 1
+    assert table.read_table(spark, out).count() == 110
+    with pytest.raises(FileNotFoundError):
+        manifest.load(out, snapshot_id=0)
