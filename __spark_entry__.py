@@ -61,6 +61,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "list_roundtrip": Q.q_list_roundtrip,
         "uint_roundtrip": Q.q_uint_roundtrip,
         "json_source": Q.q_json_source,
+        "nested_prune": Q.q_nested_prune,
         # codec semantics / stats / selection
         "rle_runs": Q.q_rle_runs,
         "delta_encode": Q.q_delta_encode,
@@ -208,6 +209,10 @@ def oracle_sql() -> dict[str, str]:
             "SELECT l_orderkey, l_partkey, l_quantity FROM lineitem",
         "json_source":
             "SELECT doc_id, lang, text, n_chars AS nc FROM documents",
+        "nested_prune":
+            "SELECT event_id, user_id AS meta_u, "
+            "CASE WHEN event_id % 5 <> 0 THEN value END AS meta_v "
+            "FROM events",
         "list_roundtrip": """
             SELECT vec_id, CAST(label AS BIGINT) AS label,
                    CAST(len(embedding) AS BIGINT) AS dim,

@@ -120,6 +120,39 @@ def make_decode_fn(columns: list[str], verify_crc: bool = True,
                     f"snapshot was taken"
                 )
 
+    def _parse_shell(shell):
+        import struct as _s
+
+        from .codec import _type_from_bytes
+        from .kernels.rle import rle_decode
+
+        ver, n, has_nulls = _s.unpack_from("<BQB", shell, 0)
+        pos = 10
+        if has_nulls:
+            n_valid, mask_len = _s.unpack_from("<QI", shell, pos)
+            pos += 12
+            valid = rle_decode(
+                memoryview(shell)[pos : pos + mask_len]
+            ).astype(bool)
+            pos += mask_len
+        else:
+            n_valid, valid = n, None
+        (tlen,) = _s.unpack_from("<I", shell, pos)
+        typ = _type_from_bytes(memoryview(shell)[pos + 4 : pos + 4 + tlen])
+        return n, n_valid, valid, typ
+
+    def _expand_nulls(arr, n, valid):
+        if valid is None:
+            return arr
+        import numpy as np
+
+        n_valid = len(arr)
+        if n_valid == 0:
+            return pa.nulls(n, arr.type)
+        idx = np.zeros(n, dtype=np.int64)
+        idx[valid] = np.arange(n_valid)
+        return arr.take(pa.array(idx, type=pa.int64(), mask=~valid))
+
     def decode_partition(batches):
         import pyarrow.compute as pc
 
@@ -138,32 +171,82 @@ def make_decode_fn(columns: list[str], verify_crc: bool = True,
                         entry, fpath,
                         {c: b.column(c)[row].as_py() for c in expect_cols},
                     )
-                have = set(entry.get("columns", {}))
-                present = [c for c in fetch_cols if c in have]
-                absent = [c for c in fetch_cols if c not in have]
+                ecols = entry.get("columns", {})
+                present = [c for c in fetch_cols
+                           if c.split(".", 1)[0] in ecols]
+                absent = [c for c in fetch_cols if c not in present]
                 for name in absent:  # schema evolution: null-fill
                     if name not in column_types:
                         raise KeyError(
                             f"column {name!r} not in chunk {fpath}"
                         )
                 # columnar projection: ONLY the requested blob columns'
-                # bytes are read from storage (P1 on disk)
+                # bytes are read from storage (P1 on disk) — for
+                # shredded structs that means only the requested
+                # CHILD's bytes (Dremel-style nested projection)
+                file_cols = []
+                for c in present:
+                    base, _, sub = c.partition(".")
+                    m = ecols[base]
+                    if m.get("codec") == "struct_shred":
+                        file_cols.append(BLOB_COL_PREFIX + base)  # shell
+                        kids = [sub] if sub else list(m["children"])
+                        file_cols += [
+                            BLOB_COL_PREFIX + f"{base}.{k}" for k in kids
+                        ]
+                    else:
+                        file_cols.append(BLOB_COL_PREFIX + base)
                 t = (
-                    pq.read_table(
-                        fpath,
-                        columns=[BLOB_COL_PREFIX + c for c in present],
-                    )
-                    if present
+                    pq.read_table(fpath,
+                                  columns=list(dict.fromkeys(file_cols)))
+                    if file_cols
                     else None
                 )
+
+                def _child(base, fname):
+                    blob = t.column(
+                        BLOB_COL_PREFIX + f"{base}.{fname}"
+                    )[0].as_py()
+                    if verify_crc:
+                        want = ecols[base]["children"][fname]["crc32"]
+                        if zlib.crc32(blob) != want:
+                            raise IOError(
+                                f"CRC mismatch for {base}.{fname} "
+                                f"in {fpath}"
+                            )
+                    return decode_array(blob)
 
                 def _decode_blob(name):
                     if name in absent:
                         return pa.nulls(entry.get("n_rows", 0),
                                         column_types[name])
+                    base, _, sub = name.partition(".")
+                    m = ecols[base]
+                    if m.get("codec") == "struct_shred":
+                        shell = t.column(BLOB_COL_PREFIX + base)[0].as_py()
+                        if verify_crc and zlib.crc32(shell) != m["crc32"]:
+                            raise IOError(
+                                f"CRC mismatch for {base} shell in {fpath}"
+                            )
+                        n, n_valid, valid, typ = _parse_shell(shell)
+                        if sub:  # flat child projection
+                            return _expand_nulls(_child(base, sub), n, valid)
+                        kids = list(m["children"])
+                        children = [_child(base, k) for k in kids]
+                        fields = [typ.field(typ.get_field_index(k))
+                                  for k in kids]
+                        if n_valid == 0:
+                            return pa.nulls(n, pa.struct(fields)).cast(typ)
+                        st_arr = pa.StructArray.from_arrays(
+                            children, fields=fields
+                        )
+                        return _expand_nulls(st_arr, n, valid).cast(typ)
+                    if sub:  # non-shredded struct: decode + prune
+                        full = _decode_blob(base)
+                        return pc.struct_field(full, sub)
                     blob = t.column(BLOB_COL_PREFIX + name)[0].as_py()
                     if verify_crc:
-                        expect_crc = entry["columns"][name]["crc32"]
+                        expect_crc = m["crc32"]
                         if zlib.crc32(blob) != expect_crc:
                             raise IOError(
                                 f"CRC mismatch for {name} in {fpath}"

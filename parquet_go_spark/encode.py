@@ -47,6 +47,63 @@ _MANIFEST_META_KEY = b"pgs_manifest_entry"
 BLOB_COL_PREFIX = "b_"
 
 
+def _encode_struct_shredded(arr: pa.Array) -> tuple[dict, dict]:
+    """Shred a TOP-LEVEL struct column Dremel-style: one self-
+    describing blob per child (stored as its own parquet column →
+    nested projection reads only that child's bytes) plus a tiny shell
+    blob carrying the struct type + validity. Children under a null
+    parent are dropped; decode re-expands from the shell mask.
+    Returns ({suffix: blob} with "" = shell, column meta)."""
+    import struct as _s
+
+    from .codec import _type_bytes, encode_array
+    from .plan import choose_codec, profile_array
+
+    n = len(arr)
+    a = arr.drop_null() if arr.null_count else arr
+    tb = _type_bytes(arr.type)
+    if arr.null_count:
+        from .kernels.rle import rle_encode
+
+        valid = arr.is_valid().to_numpy(zero_copy_only=False).astype(np.uint64)
+        mask = rle_encode(valid, 1)
+        shell = (_s.pack("<BQB", 1, n, 1)
+                 + _s.pack("<QI", n - arr.null_count, len(mask)) + mask
+                 + _s.pack("<I", len(tb)) + tb)
+    else:
+        shell = _s.pack("<BQB", 1, n, 0) + _s.pack("<I", len(tb)) + tb
+    blobs = {"": shell}
+    children_meta = {}
+    children = a.flatten() if len(a) else [
+        pa.array([], arr.type.field(i).type)
+        for i in range(arr.type.num_fields)
+    ]
+    for i, child in enumerate(children):
+        child = (child.combine_chunks()
+                 if isinstance(child, pa.ChunkedArray) else child)
+        fname = arr.type.field(i).name
+        c, e = choose_codec(profile_array(child, fname))
+        blob = encode_array(child, c, e)
+        blobs[fname] = blob
+        children_meta[fname] = {
+            "codec": c, "entropy": e, "enc_bytes": len(blob),
+            "crc32": zlib.crc32(blob),
+        }
+    meta = {
+        "codec": "struct_shred",
+        "entropy": "none",
+        "n": n,
+        "nulls": arr.null_count,
+        "min": None,
+        "max": None,
+        "raw_bytes": int(arr.nbytes),
+        "enc_bytes": sum(len(b) for b in blobs.values()),
+        "crc32": zlib.crc32(shell),
+        "children": children_meta,
+    }
+    return blobs, meta
+
+
 def _encode_one_column(arr: pa.Array, name: str,
                        override: tuple[str, str] | None,
                        with_bloom: bool = False) -> tuple[bytes, dict]:
@@ -212,6 +269,14 @@ def make_encode_fn(table_dir: str, key_cols: tuple[str, ...],
             blobs, columns_meta = {}, {}
             for name in chunk.column_names:
                 arr = chunk.column(name).combine_chunks()
+                if (pa.types.is_struct(arr.type)
+                        and name not in overrides):
+                    parts, meta = _encode_struct_shredded(arr)
+                    columns_meta[name] = meta
+                    for suffix, blob in parts.items():
+                        key = name if suffix == "" else f"{name}.{suffix}"
+                        blobs[BLOB_COL_PREFIX + key] = blob
+                    continue
                 blob, meta = _encode_one_column(
                     arr, name, overrides.get(name),
                     with_bloom=name in bloom_cols,

@@ -222,6 +222,30 @@ def q_json_source(spark, sf_dir):
     )
 
 
+def q_nested_prune(spark, sf_dir):
+    """Dremel-style nested projection: a struct column is shredded into
+    per-child blob columns at encode; reading ``meta.u`` decodes (and
+    reads from storage) only that child's bytes + the validity shell."""
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    df = ev.select(
+        "event_id",
+        F.struct(
+            F.col("user_id").alias("u"),
+            F.col("event_type").alias("e"),
+            F.when(F.col("event_id") % 5 != 0, F.col("value")).alias("v"),
+        ).alias("meta"),
+    )
+    out = os.path.join(tempfile.mkdtemp(prefix="pgs_shred_"), "events")
+    table.write_table(df, out, key_cols=("event_id",), num_chunks=4)
+    flat = table.read_table(spark, out, columns=["event_id", "meta.u",
+                                                 "meta.v"])
+    return flat.select(
+        "event_id",
+        F.col("`meta.u`").alias("meta_u"),
+        F.col("`meta.v`").alias("meta_v"),
+    )
+
+
 def q_uint_roundtrip(spark, sf_dir):
     """Unsigned + half-float surface (parquet.thrift:471-497 uint
     logical types; FLOAT16): Spark has no unsigned types, so the cast

@@ -197,24 +197,35 @@ def read_table(
     if listing is None:
         raise FileNotFoundError(f"no committed snapshot in {table_dir}")
     schema = StructType.fromJson(json.loads(listing["schema_ddl"]))
-    all_cols = [f.name for f in schema.fields]
+    by_name = {f.name: f for f in schema.fields}
+    all_cols = list(by_name)
     columns = columns or all_cols
-    unknown = [c for c in columns if c not in set(all_cols)]
-    if unknown:
-        raise KeyError(f"columns not in table schema: {unknown} (have {all_cols})")
     # all fields nullable: schema evolution null-fills columns that
-    # predate a chunk, regardless of the writer-side nullability
-    sub_schema = StructType(
-        [
-            StructField(f.name, f.dataType, nullable=True,
-                        metadata=f.metadata)
-            for f in schema.fields
-            if f.name in set(columns)
-        ]
-    )
-    # preserve requested order
-    order = {n: i for i, n in enumerate(columns)}
-    sub_schema = StructType(sorted(sub_schema.fields, key=lambda f: order[f.name]))
+    # predate a chunk, regardless of the writer-side nullability.
+    # "base.child" projects ONE struct child as a flat column (shredded
+    # structs then read only that child's bytes from storage).
+    fields = []
+    for c in columns:
+        base, _, sub = c.partition(".")
+        if base not in by_name:
+            raise KeyError(
+                f"column {c!r} not in table schema (have {all_cols})"
+            )
+        f = by_name[base]
+        if sub:
+            if not isinstance(f.dataType, StructType):
+                raise KeyError(f"{base!r} is not a struct; cannot "
+                               f"project {c!r}")
+            child = {cf.name: cf for cf in f.dataType.fields}.get(sub)
+            if child is None:
+                raise KeyError(f"struct {base!r} has no field {sub!r}")
+            fields.append(StructField(c, child.dataType, nullable=True))
+        else:
+            fields.append(
+                StructField(f.name, f.dataType, nullable=True,
+                            metadata=f.metadata)
+            )
+    sub_schema = StructType(fields)
 
     entries = prune_entries(listing["entries"], predicates)
     if not entries:

@@ -548,3 +548,43 @@ def test_expire_snapshots_gc(spark, tmp_path):
     assert table.read_table(spark, out).count() == 110
     with pytest.raises(FileNotFoundError):
         manifest.load(out, snapshot_id=0)
+
+
+def test_struct_shredding_projects_child_bytes(spark, transcripts, tmp_path):
+    """Top-level structs are shredded into per-child blob columns:
+    projecting one child reads only its bytes (plus the tiny shell),
+    and both full-struct and flat-child reads round-trip."""
+    import pyarrow.parquet as pq
+    import pyspark.sql.functions as F
+
+    df = transcripts.withColumn(
+        "meta",
+        F.struct(F.col("role").alias("r"), F.col("text").alias("big"),
+                 F.when(F.col("turn_idx") % 5 != 0, F.col("tool"))
+                 .alias("t")),
+    ).drop("text")
+    out = str(tmp_path / "tbl")
+    table.write_table(df, out, num_chunks=3)
+    # on-disk layout: per-child blob columns, child bytes dominate big
+    f = glob.glob(os.path.join(out, "chunks", "*.parquet"))[0]
+    rg = pq.ParquetFile(f).metadata.row_group(0)
+    sizes = {rg.column(i).path_in_schema: rg.column(i).total_compressed_size
+             for i in range(rg.num_columns)}
+    assert "b_meta.big" in sizes and "b_meta.r" in sizes
+    assert sizes["b_meta.r"] + sizes["b_meta"] < sizes["b_meta.big"] / 2
+    # full-struct round-trip
+    back = table.read_table(spark, out)
+    res = table.verify_roundtrip(df, back, ("conv_id", "turn_idx"))
+    assert res["identical"], res
+    # flat child projection decodes only that child
+    flat = table.read_table(spark, out, columns=["conv_id", "turn_idx",
+                                                 "meta.r"])
+    assert flat.columns == ["conv_id", "turn_idx", "meta.r"]
+    want = df.select("conv_id", "turn_idx",
+                     F.col("meta.r").alias("meta.r"))
+    assert flat.exceptAll(want).count() == 0
+    assert want.exceptAll(flat).count() == 0
+    # child with nulls projects with parent+child nulls merged
+    tcol = table.read_table(spark, out, columns=["meta.t"])
+    assert tcol.filter(F.col("`meta.t`").isNull()).count() == \
+        df.filter(F.col("meta.t").isNull()).count()
