@@ -93,6 +93,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": P.simhash,                        # rows-only
         "ann_cosine_topk": P.ann_cosine_topk,
         "ann_lsh_topk": P.ann_lsh_topk,              # rows-only
+        "ann_ivf_topk": P.ann_ivf_topk,              # rows-only
         "multimodal_frames": _q_multimodal_frames,
         "lang_id": P.lang_id,
         "quality_score": P.quality_score,

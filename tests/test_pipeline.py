@@ -116,3 +116,18 @@ def test_ngram_jaccard_cap_active_drops_hot_shingles(spark):
     base = P.dedup_ngram_jaccard(spark, SF).count()
     capped = P.dedup_ngram_jaccard(spark, SF, max_shingle_df=1).count()
     assert capped <= base
+
+
+def test_ann_ivf_recall_vs_exact(spark):
+    """IVF probing must recover a solid fraction of the exact top-k
+    (nprobe=4 of 16 cells on near-random vectors)."""
+    exact = P.ann_cosine_topk(spark, SF, n_queries=5, k=10).collect()
+    approx = P.ann_ivf_topk(spark, SF, n_queries=5, k=10).collect()
+    ex = {(r["query_id"], r["vec_id"]) for r in exact}
+    ap = {(r["query_id"], r["vec_id"]) for r in approx}
+    assert len(ap) > 0
+    recall = len(ex & ap) / len(ex)
+    assert recall >= 0.2, recall
+    again = {(r["query_id"], r["vec_id"])
+             for r in P.ann_ivf_topk(spark, SF, n_queries=5, k=10).collect()}
+    assert again == ap  # deterministic
