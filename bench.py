@@ -172,6 +172,25 @@ def main() -> int:
                 best_loc, 3
             )
 
+            # direct path: tasks read their own input files (no JVM
+            # scan / shuffle / Arrow transfer) — the pre-grouped-input
+            # plan; measured at full parallelism here, at 1 core below
+            import glob as _glob
+
+            src_files = sorted(_glob.glob(os.path.join(src, "*.parquet")))
+            best_dir = None
+            for rep in range(repeats):
+                t0 = time.time()
+                T.write_table_direct(
+                    spark, src_files,
+                    os.path.join(workdir, f"enc_dir_{rep}"),
+                    key_cols=("conv_id", "turn_idx"),
+                )
+                best_dir = min(best_dir or 1e9, time.time() - t0)
+            queries[f"transcript_encode_local{cpus}_direct"] = round(
+                best_dir, 3
+            )
+
             t0 = time.time()
             Q.codec_roundtrip(
                 spark, os.path.join(sf_dir, "lineitem.parquet"),
@@ -186,6 +205,27 @@ def main() -> int:
             queries["documents_fsst_roundtrip"] = round(time.time() - t0, 3)
         finally:
             spark.stop()
+
+        # direct path at 1 core (the pre-grouped-input single-core rate)
+        spark1 = _quiet_spark("local[1]")
+        try:
+            from parquet_go_spark import table as T1
+
+            import glob as _glob
+
+            src_files = sorted(_glob.glob(os.path.join(src, "*.parquet")))
+            best_dir1 = None
+            for rep in range(repeats):
+                t0 = time.time()
+                T1.write_table_direct(
+                    spark1, src_files,
+                    os.path.join(workdir, f"enc_dir1_{rep}"),
+                    key_cols=("conv_id", "turn_idx"),
+                )
+                best_dir1 = min(best_dir1 or 1e9, time.time() - t0)
+            queries["transcript_encode_local1_direct"] = round(best_dir1, 3)
+        finally:
+            spark1.stop()
 
         # primary N→4N evidence pair
         speedup_b = runs[lo_lvl]["enc_s"] / runs[mid_lvl]["enc_s"]
@@ -215,6 +255,8 @@ def main() -> int:
                     for lvl in levels
                 },
                 "encode_mb_s_local%d_noshuffle" % cpus: round(mb / best_loc, 2),
+                "encode_mb_s_local1_direct": round(mb / best_dir1, 2),
+                "encode_mb_s_local%d_direct" % cpus: round(mb / best_dir, 2),
                 "scaling_pair": "local[%d] -> local[%d]" % (lo_lvl, mid_lvl),
                 "scaling_speedup_%d_to_%d" % (lo_lvl, mid_lvl): round(speedup_b, 3),
                 "scaling_efficiency": round(eff_b, 3),

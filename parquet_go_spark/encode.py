@@ -216,6 +216,59 @@ def _chunk_matches(prev: dict, chunk: pa.Table,
     return prev["data_crc"] == chunk_content_crc(chunk)
 
 
+def _encode_or_reuse(chunk: pa.Table, chunk_id: str, table_dir: str,
+                     key_cols: tuple[str, ...], overrides: dict,
+                     resume: bool, bloom_cols: tuple[str, ...],
+                     attempt: str) -> dict:
+    """Encode one chunk table → write its file → manifest entry; reuse
+    a committed fingerprint-identical chunk when ``resume``."""
+    fpath = os.path.join(table_dir, "chunks", f"chunk-{chunk_id}.parquet")
+    if resume and os.path.exists(fpath):
+        prev = read_chunk_entry(fpath)
+        if (prev is not None and prev["n_rows"] == chunk.num_rows
+                and _chunk_matches(prev, chunk, key_cols)):
+            prev["reused"] = True
+            prev["attempt"] = attempt
+            return prev
+    t0 = time.time()
+    blobs, columns_meta = {}, {}
+    for name in chunk.column_names:
+        arr = chunk.column(name).combine_chunks()
+        if pa.types.is_struct(arr.type) and name not in overrides:
+            parts, meta = _encode_struct_shredded(arr)
+            columns_meta[name] = meta
+            for suffix, blob in parts.items():
+                key = name if suffix == "" else f"{name}.{suffix}"
+                blobs[BLOB_COL_PREFIX + key] = blob
+            continue
+        blob, meta = _encode_one_column(
+            arr, name, overrides.get(name),
+            with_bloom=name in bloom_cols,
+        )
+        columns_meta[name] = meta
+        blobs[BLOB_COL_PREFIX + name] = blob
+    entry = {
+        "chunk_id": chunk_id,
+        "file": os.path.join("chunks", f"chunk-{chunk_id}.parquet"),
+        "n_rows": chunk.num_rows,
+        "data_crc": chunk_content_crc(chunk),
+        "sort_order": list(key_cols),
+        "columns": columns_meta,
+        "raw_bytes": sum(m["raw_bytes"] for m in columns_meta.values()),
+        "enc_bytes": sum(m["enc_bytes"] for m in columns_meta.values()),
+        "engine": manifest.ENGINE_VERSION,
+        "attempt": attempt,
+        "reused": False,
+        "encode_s": 0.0,
+    }
+    ftbl = pa.table(
+        {k: pa.array([v], pa.large_binary()) for k, v in blobs.items()}
+    )
+    entry["encode_s"] = round(time.time() - t0, 4)
+    _write_chunk_file(fpath, ftbl, entry)
+    return entry
+
+
 def make_encode_fn(table_dir: str, key_cols: tuple[str, ...],
                    overrides: dict[str, tuple[str, str]] | None = None,
                    resume: bool = True, chunk_prefix: str = "",
@@ -253,58 +306,52 @@ def make_encode_fn(table_dir: str, key_cols: tuple[str, ...],
         for i in range(len(starts) - 1):
             lo, hi = int(starts[i]), int(starts[i + 1])
             chunk_id = f"{chunk_prefix}{int(ck[lo]):06d}"
-            fpath = os.path.join(table_dir, "chunks", f"chunk-{chunk_id}.parquet")
-            chunk = data.slice(lo, hi - lo)
-            if resume and os.path.exists(fpath):
-                prev = read_chunk_entry(fpath)
-                if (prev is not None and prev["n_rows"] == hi - lo
-                        and _chunk_matches(prev, chunk, key_cols)):
-                    prev["reused"] = True
-                    prev["attempt"] = attempt
-                    yield pa.RecordBatch.from_pydict(
-                        {"entry_json": pa.array([json.dumps(prev)])}
-                    )
-                    continue
-            t0 = time.time()
-            blobs, columns_meta = {}, {}
-            for name in chunk.column_names:
-                arr = chunk.column(name).combine_chunks()
-                if (pa.types.is_struct(arr.type)
-                        and name not in overrides):
-                    parts, meta = _encode_struct_shredded(arr)
-                    columns_meta[name] = meta
-                    for suffix, blob in parts.items():
-                        key = name if suffix == "" else f"{name}.{suffix}"
-                        blobs[BLOB_COL_PREFIX + key] = blob
-                    continue
-                blob, meta = _encode_one_column(
-                    arr, name, overrides.get(name),
-                    with_bloom=name in bloom_cols,
-                )
-                columns_meta[name] = meta
-                blobs[BLOB_COL_PREFIX + name] = blob
-            entry = {
-                "chunk_id": chunk_id,
-                "file": os.path.join("chunks", f"chunk-{chunk_id}.parquet"),
-                "n_rows": hi - lo,
-                "data_crc": chunk_content_crc(chunk),
-                "sort_order": list(key_cols),
-                "columns": columns_meta,
-                "raw_bytes": sum(m["raw_bytes"] for m in columns_meta.values()),
-                "enc_bytes": sum(m["enc_bytes"] for m in columns_meta.values()),
-                "engine": manifest.ENGINE_VERSION,
-                "attempt": attempt,
-                "reused": False,
-                "encode_s": 0.0,
-            }
-            ftbl = pa.table(
-                {k: pa.array([v], pa.large_binary())
-                 for k, v in blobs.items()}
+            entry = _encode_or_reuse(
+                data.slice(lo, hi - lo), chunk_id, table_dir, key_cols,
+                overrides, resume, bloom_cols, attempt,
             )
-            entry["encode_s"] = round(time.time() - t0, 4)
-            _write_chunk_file(fpath, ftbl, entry)
             yield pa.RecordBatch.from_pydict(
                 {"entry_json": pa.array([json.dumps(entry)])}
             )
 
     return encode_partition
+
+
+def make_direct_encode_fn(table_dir: str, key_cols: tuple[str, ...],
+                          overrides: dict | None = None,
+                          resume: bool = True,
+                          bloom_cols: tuple[str, ...] = ()):
+    """Direct-path encode: each task READS ITS OWN input parquet files
+    with pyarrow and encodes them as one chunk — no JVM scan, no
+    shuffle, no Arrow JVM→Python transfer (only file paths cross the
+    boundary). The right plan when the input is already
+    conversation-grouped: at 1000 executors every task streams its
+    shard straight from storage into the kernels."""
+    overrides = overrides or {}
+
+    def encode_files(batches):
+        import pyarrow.compute as pc
+        from pyspark import TaskContext
+
+        tc = TaskContext.get()
+        attempt = f"task{tc.taskAttemptId()}" if tc else "local"
+        for b in batches:
+            for row in range(b.num_rows):
+                chunk_id = b.column("chunk_id")[row].as_py()
+                files = json.loads(b.column("files")[row].as_py())
+                tbl = pa.concat_tables([pq.read_table(f) for f in files])
+                if tbl.num_rows == 0:
+                    continue
+                idx = pc.sort_indices(
+                    tbl, sort_keys=[(k, "ascending") for k in key_cols]
+                )
+                tbl = tbl.take(idx).combine_chunks()
+                entry = _encode_or_reuse(
+                    tbl, chunk_id, table_dir, key_cols, overrides,
+                    resume, bloom_cols, attempt,
+                )
+                yield pa.RecordBatch.from_pydict(
+                    {"entry_json": pa.array([json.dumps(entry)])}
+                )
+
+    return encode_files

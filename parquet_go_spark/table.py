@@ -21,9 +21,9 @@ from . import manifest
 from .decode import make_decode_fn, prune_entries
 from .encode import make_encode_fn
 
-__all__ = ["write_table", "read_table", "compact", "count_rows",
-           "delete_rows", "upsert_table", "verify_roundtrip",
-           "validate_schema", "TRANSCRIPT_DDL"]
+__all__ = ["write_table", "write_table_direct", "read_table", "compact",
+           "count_rows", "delete_rows", "upsert_table",
+           "verify_roundtrip", "validate_schema", "TRANSCRIPT_DDL"]
 
 DEFAULT_ROWS_PER_CHUNK = 262_144
 DEFAULT_SALT_BLOCK = 65_536
@@ -355,6 +355,55 @@ def compact(
         "new_chunks": len(new_entries),
         "n_chunks": len(final_entries),
         "n_rows": sum(e["n_rows"] for e in final_entries),
+    }
+
+
+def write_table_direct(
+    spark: SparkSession,
+    input_files: list[str],
+    table_dir: str,
+    key_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
+    files_per_chunk: int = 1,
+    overrides: dict[str, tuple[str, str]] | None = None,
+    resume: bool = True,
+    chunk_prefix: str = "",
+    append: bool = False,
+    bloom_cols: tuple[str, ...] = (),
+) -> dict:
+    """Direct-path encode for pre-grouped input: each chunk = one group
+    of input parquet files, read INSIDE the task with pyarrow (no JVM
+    scan, no shuffle, no Arrow JVM→Python transfer — only file paths
+    cross the boundary). Chunk ids follow the sorted input listing, so
+    resume requires a stable listing (same caveat as locality mode)."""
+    from .encode import make_direct_encode_fn
+
+    files = sorted(input_files)
+    groups = [files[i : i + files_per_chunk]
+              for i in range(0, len(files), files_per_chunk)]
+    rows = [(f"{chunk_prefix}{i:06d}", json.dumps(g))
+            for i, g in enumerate(groups)]
+    par = min(len(rows), spark.sparkContext.defaultParallelism) or 1
+    files_df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["chunk_id", "files"]),
+        "chunk_id string, files string",
+    ).repartition(par)
+    fn = make_direct_encode_fn(table_dir, key_cols, overrides, resume,
+                               bloom_cols)
+    entry_rows = files_df.mapInArrow(fn, "entry_json string").collect()
+    entries = [json.loads(r.entry_json) for r in entry_rows]
+    schema_ddl = spark.read.parquet(files[0]).schema.json()
+    snapshot = manifest.commit(
+        table_dir, entries, schema_ddl=schema_ddl,
+        extra={"mode": "direct", "key_cols": list(key_cols)},
+        append=append,
+    )
+    return {
+        "snapshot_id": snapshot,
+        "n_chunks": len(entries),
+        "n_rows": sum(e["n_rows"] for e in entries),
+        "raw_bytes": sum(e["raw_bytes"] for e in entries),
+        "enc_bytes": sum(e["enc_bytes"] for e in entries),
+        "reused_chunks": sum(1 for e in entries if e.get("reused")),
     }
 
 

@@ -588,3 +588,30 @@ def test_struct_shredding_projects_child_bytes(spark, transcripts, tmp_path):
     tcol = table.read_table(spark, out, columns=["meta.t"])
     assert tcol.filter(F.col("`meta.t`").isNull()).count() == \
         df.filter(F.col("meta.t").isNull()).count()
+
+
+def test_direct_path_encode_roundtrip(spark, tmp_path):
+    """write_table_direct: tasks read their own input files, no JVM
+    scan/shuffle/transfer; decode must match the source exactly and a
+    rerun must reuse every chunk."""
+    import pyarrow.parquet as pq
+
+    from parquet_go_spark.fixtures import make_transcripts
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    t = make_transcripts(150, seed=6)
+    step = (t.num_rows + 5) // 6
+    for i in range(0, t.num_rows, step):
+        pq.write_table(t.slice(i, step), f"{src}/f{i//step}.parquet")
+    files = sorted(glob.glob(os.path.join(src, "*.parquet")))
+    out = str(tmp_path / "tbl")
+    info = table.write_table_direct(spark, files, out, files_per_chunk=2)
+    assert info["n_chunks"] == 3 and info["n_rows"] == t.num_rows
+    df = spark.read.parquet(src)
+    back = table.read_table(spark, out)
+    assert table.verify_roundtrip(df, back, ("conv_id", "turn_idx"))[
+        "identical"
+    ]
+    info2 = table.write_table_direct(spark, files, out, files_per_chunk=2)
+    assert info2["reused_chunks"] == 3
