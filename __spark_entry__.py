@@ -80,6 +80,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_ingest": Q.q_stream_ingest,
         "stream_window_agg": Q.q_stream_window_agg,
         "locality_roundtrip": Q.q_locality_roundtrip,
+        "zorder_cluster": Q.q_zorder_cluster,
         "compact_roundtrip": Q.q_compact_roundtrip,
         "schema_evolution": Q.q_schema_evolution,
         # analytics over the DECODED table (engine output -> Spark SQL)
@@ -295,6 +296,8 @@ def oracle_sql() -> dict[str, str]:
                    max(us) - min(us) AS duration_us
             FROM s GROUP BY user_id, session_idx""",
         "locality_roundtrip": "SELECT * FROM lineitem",
+        "zorder_cluster":
+            "SELECT * FROM lineitem WHERE l_partkey BETWEEN 100 AND 600",
         "compact_roundtrip": "SELECT * FROM lineitem",
         "schema_evolution":
             "SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, "

@@ -570,6 +570,43 @@ def q_chunk_skip_filter(spark, sf_dir):
     )
 
 
+def q_zorder_cluster(spark, sf_dir):
+    """Z-order clustering: chunk assignment by Morton-interleaved
+    (l_orderkey, l_partkey) bits → manifest min/max stats are selective
+    on EITHER column; a partkey predicate prunes chunks even though the
+    table isn't partkey-range-chunked, and the blob-level row filter
+    returns exactly the matching rows."""
+    from .clustering import zorder_expr
+
+    df = _lineitem(spark, sf_dir)
+    out = os.path.join(tempfile.mkdtemp(prefix="pgs_zo_"), "lineitem")
+    # normalize each dimension to a 2-bit cell (4×4 Z-grid, one cell
+    # per chunk — distinct cells, no pmod aliasing across the curve)
+    ma, mb = df.agg(F.max("l_orderkey"), F.max("l_partkey")).collect()[0]
+    ba = max(1, math.ceil((ma + 1) / 4))
+    bb = max(1, math.ceil((mb + 1) / 4))
+    z = zorder_expr(
+        F.floor(F.col("l_orderkey") / F.lit(ba)),
+        F.floor(F.col("l_partkey") / F.lit(bb)),
+        bits=2,
+    )
+    table.write_table(
+        df, out, key_cols=LINEITEM_KEY, num_chunks=16, chunk_expr=z,
+    )
+    listing = manifest.load(out)
+    from .decode import prune_entries
+
+    lo, hi = 100, 600
+    kept = prune_entries(listing["entries"], {"l_partkey": (lo, hi)})
+    assert len(kept) < listing["n_chunks"], (
+        len(kept), listing["n_chunks"]
+    )
+    return table.read_table(
+        spark, out, predicates={"l_partkey": (lo, hi)},
+        push_row_filter=True,
+    )
+
+
 def q_locality_roundtrip(spark, sf_dir):
     """Shuffle-free encode (input partition = chunk) → decode identity."""
     out = os.path.join(tempfile.mkdtemp(prefix="pgs_loc_"), "lineitem")

@@ -521,6 +521,17 @@ def upsert_table(spark: SparkSession, table_dir: str,
     extra = listing["extra"]
     if "num_chunks" not in extra:
         raise ValueError("upsert requires a hash-chunked table")
+    # prefixed chunk ids (streaming appends, compaction namespaces) may
+    # hold the same keys outside the hash mapping — an upsert would
+    # then leave duplicates. Compact to a uniform namespace first.
+    prefixed = [e["chunk_id"] for e in listing["entries"]
+                if not e["chunk_id"].isdigit()]
+    if prefixed:
+        raise ValueError(
+            "upsert requires a uniformly hash-chunked table; found "
+            f"prefixed chunks (e.g. {prefixed[0]!r}) — run compact() "
+            "or rewrite first"
+        )
     num_chunks = extra["num_chunks"]
     salt_block = extra.get("salt_block", DEFAULT_SALT_BLOCK)
     key_cols = tuple(extra.get("key_cols") or ["conv_id", "turn_idx"])
