@@ -334,9 +334,20 @@ def _encode_values(arr: pa.Array, dt: int, codec: int) -> bytes:
         a = a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
         buf = a.buffers()[1]
         raw = np.frombuffer(buf, np.uint8)[a.offset * 16 : (a.offset + len(a)) * 16]
+        raw = np.ascontiguousarray(raw)
+        # precision ≤ 18 → the unscaled value fits int64 (10^18 < 2^63):
+        # take the low word of each 128-bit LE pair and PFOR it — the
+        # decimal analogue of the ALP float upgrade, typically 5-10×
+        # smaller than raw 16-byte values
+        if a.type.precision <= 18 and len(a):
+            lo = raw.view("<i8")[0::2]
+            body = struct.pack("<BBB", a.type.precision, a.type.scale, 1)
+            from .kernels.pfor import pfor_encode
+
+            return body + pfor_encode(np.ascontiguousarray(lo))
         return (
-            struct.pack("<BB", a.type.precision, a.type.scale)
-            + np.ascontiguousarray(raw).tobytes()
+            struct.pack("<BBB", a.type.precision, a.type.scale, 0)
+            + raw.tobytes()
         )
     if dt in (_DT_LIST_F32, _DT_LIST_F64):
         lengths, flat = _list_parts(arr)
@@ -412,8 +423,17 @@ def _decode_values(body: memoryview, dt: int, codec: int, n: int) -> pa.Array:
     if dt in _NESTED_DTS:
         return _decode_nested(body, dt, n)
     if dt == _DT_DEC128:
-        precision, scale = struct.unpack_from("<BB", body, 0)
-        buf = pa.py_buffer(bytes(body[2 : 2 + 16 * n]))
+        precision, scale, packed = struct.unpack_from("<BBB", body, 0)
+        if packed:
+            from .kernels.pfor import pfor_decode
+
+            lo = pfor_decode(body[3:])
+            raw = np.zeros((n, 2), dtype=np.int64)
+            raw[:, 0] = lo
+            raw[:, 1] = lo >> 63  # sign-extend the high word
+            buf = pa.py_buffer(np.ascontiguousarray(raw).tobytes())
+        else:
+            buf = pa.py_buffer(bytes(body[3 : 3 + 16 * n]))
         return pa.Array.from_buffers(
             pa.decimal128(precision, scale), n, [None, buf]
         )

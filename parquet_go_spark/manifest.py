@@ -86,14 +86,67 @@ def _group_by_shard(entries: list[dict]) -> dict[str, list[dict]]:
     return out
 
 
+_LOCK_TIMEOUT_S = 120.0
+
+
+class CommitConflict(RuntimeError):
+    """Another writer holds the table's commit lock."""
+
+
+def _acquire_commit_lock(table_dir: str, timeout: float):
+    """O_CREAT|O_EXCL lock file around the read-merge-swing window so
+    two concurrent writers cannot both commit against the same parent
+    and silently drop one side's entries. Stale locks (older than
+    ``_LOCK_TIMEOUT_S``, e.g. a crashed driver) are broken."""
+    import time as _t
+
+    path = os.path.join(table_dir, "_commit.lock")
+    os.makedirs(table_dir, exist_ok=True)
+    deadline = _t.monotonic() + timeout
+    while True:
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.write(fd, f"{os.getpid()} {_t.time()}".encode())
+            os.close(fd)
+            return path
+        except FileExistsError:
+            try:
+                age = _t.time() - os.path.getmtime(path)
+                if age > _LOCK_TIMEOUT_S:
+                    os.unlink(path)  # stale: crashed writer
+                    continue
+            except OSError:
+                continue  # lock vanished — retry
+            if _t.monotonic() >= deadline:
+                raise CommitConflict(
+                    f"commit lock {path} held by another writer"
+                ) from None
+            _t.sleep(0.05)
+
+
 def commit(table_dir: str, entries: list[dict], schema_ddl: str,
-           extra: dict | None = None, append: bool = False) -> int:
+           extra: dict | None = None, append: bool = False,
+           lock_timeout: float = 30.0) -> int:
     """Write changed manifest shards + snap-<n>.json, then atomically
-    swing _manifest_list.json.
+    swing _manifest_list.json — all under the table's commit lock
+    (optimistic writers queue; a crashed writer's stale lock is
+    broken after a timeout).
 
     ``append=True`` merges into the parent snapshot's entries keyed by
     chunk_id (same id overrides — idempotent batch replay); shards
     without new entries reuse the parent's manifest file untouched."""
+    lock = _acquire_commit_lock(table_dir, lock_timeout)
+    try:
+        return _commit_locked(table_dir, entries, schema_ddl, extra, append)
+    finally:
+        try:
+            os.unlink(lock)
+        except OSError:
+            pass
+
+
+def _commit_locked(table_dir: str, entries: list[dict], schema_ddl: str,
+                   extra: dict | None = None, append: bool = False) -> int:
     prev = load(table_dir)
     snapshot_id = (prev["snapshot_id"] + 1) if prev else 0
     prev_by_shard: dict[str, list[dict]] = (

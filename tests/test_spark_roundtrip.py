@@ -615,3 +615,29 @@ def test_direct_path_encode_roundtrip(spark, tmp_path):
     ]
     info2 = table.write_table_direct(spark, files, out, files_per_chunk=2)
     assert info2["reused_chunks"] == 3
+
+
+def test_commit_lock_blocks_concurrent_writer(spark, tmp_path):
+    """A held commit lock makes a second writer fail with
+    CommitConflict instead of silently losing the race; a stale lock
+    is broken."""
+    import time
+
+    from parquet_go_spark.manifest import CommitConflict
+
+    df = make_transcripts_df(spark, n_conv=10, seed=61)
+    out = str(tmp_path / "tbl")
+    table.write_table(df, out, num_chunks=1)
+    lock = os.path.join(out, "_commit.lock")
+    with open(lock, "w") as f:
+        f.write("424242 held")
+    with pytest.raises(CommitConflict):
+        manifest.commit(out, manifest.load(out)["entries"],
+                        schema_ddl=df.schema.json(), lock_timeout=0.3)
+    # stale lock (mtime in the past) is broken and the commit proceeds
+    old = time.time() - 10_000
+    os.utime(lock, (old, old))
+    snap = manifest.commit(out, manifest.load(out)["entries"],
+                           schema_ddl=df.schema.json(), lock_timeout=0.3)
+    assert snap == manifest.load(out)["snapshot_id"]
+    assert not os.path.exists(lock)
