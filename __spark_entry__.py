@@ -62,6 +62,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "uint_roundtrip": Q.q_uint_roundtrip,
         "json_source": Q.q_json_source,
         "nested_prune": Q.q_nested_prune,
+        "decimal_roundtrip": Q.q_decimal_roundtrip,
+        "selective_revenue": Q.q_selective_revenue,
         # codec semantics / stats / selection
         "rle_runs": Q.q_rle_runs,
         "delta_encode": Q.q_delta_encode,
@@ -215,6 +217,18 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, user_id AS meta_u, "
             "CASE WHEN event_id % 5 <> 0 THEN value END AS meta_v "
             "FROM events",
+        "decimal_roundtrip":
+            "SELECT l_orderkey, l_linenumber, "
+            "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) "
+            "AS price FROM lineitem",
+        "selective_revenue": """
+            SELECT CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(38,4))
+                       * CAST(l_discount AS DECIMAL(38,4))
+                       AS DECIMAL(38,4))) AS DOUBLE) AS revenue,
+                   CAST(count(*) AS BIGINT) AS n_items
+            FROM lineitem
+            WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                                 AND TIMESTAMP '1996-12-31 23:59:59'""",
         "list_roundtrip": """
             SELECT vec_id, CAST(label AS BIGINT) AS label,
                    CAST(len(embedding) AS BIGINT) AS dim,

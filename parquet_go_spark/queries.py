@@ -222,6 +222,55 @@ def q_json_source(spark, sf_dir):
     )
 
 
+def q_decimal_roundtrip(spark, sf_dir):
+    """decimal128 surface: prices cast to decimal(18,2) ride the
+    scaled-int64+PFOR packing through the codec and come back
+    bit-exact (returned as doubles for the hash compare)."""
+    df = _lineitem(spark, sf_dir).select(
+        "l_orderkey", "l_linenumber",
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("price"),
+    )
+    rt = roundtrip_df(df)
+    return rt.select(
+        "l_orderkey", "l_linenumber",
+        F.col("price").cast("double").alias("price"),
+    )
+
+
+def q_selective_revenue(spark, sf_dir):
+    """TPC-H Q6-style selective aggregate THROUGH the engine: lineitem
+    range-chunked by ship-quarter → manifest min/max pruning + blob-
+    level row filter on the date band → decimal-exact revenue. The
+    scan that feeds the aggregation decodes only overlapping chunks
+    and only the three needed columns."""
+    df = _lineitem(spark, sf_dir)
+    out = os.path.join(tempfile.mkdtemp(prefix="pgs_q6_"), "lineitem")
+    quarter_us = 90 * 86_400 * 1_000_000
+    table.write_table(
+        df, out, key_cols=LINEITEM_KEY, num_chunks=8,
+        chunk_expr=F.floor(
+            F.unix_micros(F.col("l_shipdate").cast("timestamp"))
+            / F.lit(quarter_us)
+        ),
+    )
+    import datetime
+
+    lo = datetime.datetime(1996, 1, 1)
+    hi = datetime.datetime(1996, 12, 31, 23, 59, 59)
+    dec = table.read_table(
+        spark, out,
+        columns=["l_extendedprice", "l_discount", "l_shipdate"],
+        predicates={"l_shipdate": (lo, hi)},
+        push_row_filter=True,
+    )
+    d = lambda c: F.col(c).cast("decimal(38,4)")  # noqa: E731
+    return dec.agg(
+        F.sum((d("l_extendedprice") * d("l_discount"))
+              .cast("decimal(38,4)")).cast("double").alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
 def q_nested_prune(spark, sf_dir):
     """Dremel-style nested projection: a struct column is shredded into
     per-child blob columns at encode; reading ``meta.u`` decodes (and
