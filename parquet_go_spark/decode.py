@@ -251,7 +251,14 @@ def make_decode_fn(columns: list[str], verify_crc: bool = True,
                             raise IOError(
                                 f"CRC mismatch for {name} in {fpath}"
                             )
-                    return decode_array(blob)
+                    arr = decode_array(blob)
+                    want = column_types.get(name)
+                    if want is not None and arr.type != want:
+                        # type-widening schema evolution (int32 chunks
+                        # under an int64 schema); cast raises on any
+                        # lossy narrowing instead of corrupting
+                        arr = arr.cast(want)
+                    return arr
 
                 decoded: dict[str, pa.Array] = {}
                 mask = None

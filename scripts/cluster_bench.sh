@@ -37,12 +37,16 @@ TUNE="--conf spark.shuffle.compress=false \
       --conf spark.local.dir=/dev/shm/spark-tmp \
       --conf spark.sql.execution.arrow.maxRecordsPerBatch=65536 \
       --conf spark.sql.shuffle.partitions=128"
-for N in 1 4; do
-  rm -rf "/tmp/pgs_out_cluster_$N"
-  /opt/spark/bin/spark-submit --master spark://127.0.0.1:7077 \
-    --executor-cores 1 --executor-memory 4g --total-executor-cores "$N" \
-    $TUNE --py-files /tmp/pgs.zip scripts/submit_job.py \
-    /tmp/pgs_in_1g "/tmp/pgs_out_cluster_$N" 128 2>/dev/null | tail -1
+for MODE in shuffle direct; do
+  for N in 1 4; do
+    rm -rf "/tmp/pgs_out_cluster_${MODE}_$N"
+    echo "mode=$MODE cores=$N"
+    /opt/spark/bin/spark-submit --master spark://127.0.0.1:7077 \
+      --executor-cores 1 --executor-memory 4g --total-executor-cores "$N" \
+      $TUNE --py-files /tmp/pgs.zip scripts/submit_job.py \
+      /tmp/pgs_in_1g "/tmp/pgs_out_cluster_${MODE}_$N" 128 "$MODE" \
+      2>/dev/null | tail -1
+  done
 done
 
 /opt/spark/sbin/stop-worker.sh

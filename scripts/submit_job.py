@@ -3,7 +3,10 @@ an encoded-chunk table and verify the round-trip.
 
 Usage:
     spark-submit [--master ...] --py-files pgs.zip scripts/submit_job.py \
-        <input_parquet_dir> <output_table_dir> [num_chunks]
+        <input_parquet_dir> <output_table_dir> [num_chunks] [mode]
+
+``mode`` = shuffle (default) | direct (write_table_direct: tasks read
+their own input files — the pre-grouped-input plan).
 
 Prints one JSON line with sizes, timing, and the verify result — the
 north_rule deployment shape (zero JVM code, package shipped as a zip).
@@ -21,6 +24,7 @@ from pyspark.sql import SparkSession
 def main() -> int:
     src, out = sys.argv[1], sys.argv[2]
     num_chunks = int(sys.argv[3]) if len(sys.argv) > 3 else 64
+    mode = sys.argv[4] if len(sys.argv) > 4 else "shuffle"
 
     spark = (
         SparkSession.builder.appName("parquet_go_spark-encode")
@@ -33,7 +37,15 @@ def main() -> int:
 
     df = spark.read.parquet(src)
     t0 = time.time()
-    info = table.write_table(df, out, num_chunks=num_chunks)
+    if mode == "direct":
+        import glob
+
+        files = sorted(glob.glob(f"{src}/*.parquet"))
+        per = max(1, len(files) // num_chunks)
+        info = table.write_table_direct(spark, files, out,
+                                        files_per_chunk=per)
+    else:
+        info = table.write_table(df, out, num_chunks=num_chunks)
     t_enc = time.time() - t0
     t0 = time.time()
     decoded = table.read_table(spark, out)

@@ -641,3 +641,25 @@ def test_commit_lock_blocks_concurrent_writer(spark, tmp_path):
                            schema_ddl=df.schema.json(), lock_timeout=0.3)
     assert snap == manifest.load(out)["snapshot_id"]
     assert not os.path.exists(lock)
+
+
+def test_schema_evolution_type_widening(spark, tmp_path):
+    """Chunks written when a column was int decode under a widened
+    bigint schema (read-side safe cast)."""
+    import pyspark.sql.functions as F
+
+    v1 = make_transcripts_df(spark, n_conv=20, seed=71)
+    out = str(tmp_path / "tbl")
+    table.write_table(v1, out, num_chunks=2, chunk_prefix="v1-")
+    v2 = make_transcripts_df(spark, n_conv=10, seed=72).withColumn(
+        "turn_idx", F.col("turn_idx").cast("long")
+    )
+    table.write_table(v2, out, num_chunks=2, chunk_prefix="v2-",
+                      append=True)
+    back = table.read_table(spark, out)
+    assert dict(back.dtypes)["turn_idx"] == "bigint"
+    assert back.count() == v1.count() + v2.count()
+    assert back.agg(F.sum("turn_idx")).collect()[0][0] == (
+        v1.agg(F.sum("turn_idx")).collect()[0][0]
+        + v2.agg(F.sum("turn_idx")).collect()[0][0]
+    )
