@@ -81,6 +81,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "upsert_values": Q.q_upsert_values,
         "stream_ingest": Q.q_stream_ingest,
         "stream_window_agg": Q.q_stream_window_agg,
+        "stream_sessionize": Q.q_stream_sessionize,
         "locality_roundtrip": Q.q_locality_roundtrip,
         "zorder_cluster": Q.q_zorder_cluster,
         "compact_roundtrip": Q.q_compact_roundtrip,
@@ -288,6 +289,27 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_events,
                    CAST(sum(event_id) AS BIGINT) AS sum_event_id
             FROM events GROUP BY 1""",
+        "stream_sessionize": """
+            WITH g AS (
+                SELECT user_id, event_id,
+                       CASE WHEN lag(epoch_us(ts)) OVER
+                                (PARTITION BY user_id ORDER BY ts, event_id)
+                                IS NULL
+                            OR epoch_us(ts) - lag(epoch_us(ts)) OVER
+                                (PARTITION BY user_id ORDER BY ts, event_id)
+                                > 30*60*1000000
+                            THEN 1 ELSE 0 END AS new_sess,
+                       epoch_us(ts) AS us
+                FROM events),
+            s AS (SELECT user_id, event_id,
+                         sum(new_sess) OVER
+                             (PARTITION BY user_id ORDER BY us, event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_idx
+                  FROM g)
+            SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   min(event_id) AS first_event
+            FROM s GROUP BY user_id, session_idx""",
         "sessionize": """
             WITH g AS (
                 SELECT user_id, event_id, epoch_us(ts) AS us,

@@ -805,6 +805,43 @@ def q_stream_window_agg(spark, sf_dir):
     return spark.table(qn)
 
 
+def q_stream_sessionize(spark, sf_dir):
+    """Custom stateful streaming operator (applyInPandasWithState):
+    gap-based sessions whose per-user state crosses micro-batch
+    boundaries; the final assignment must equal the batch lag+cumsum
+    SQL on the same events."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from . import streaming
+
+    wd = tempfile.mkdtemp(prefix="pgs_ssess_")
+    src = os.path.join(wd, "src")
+    os.makedirs(src)
+    t = pq.read_table(os.path.join(sf_dir, "events.parquet"))
+    t = t.take(pc.sort_indices(t, sort_keys=[("ts", "ascending"),
+                                             ("event_id", "ascending")]))
+    step = (t.num_rows + 2) // 3  # time-ordered micro-batches
+    for i in range(0, t.num_rows, step):
+        pq.write_table(t.slice(i, step), os.path.join(src, f"f{i // step}.parquet"))
+    schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .select("user_id", "event_id", "ts")
+    )
+    qn = f"sess_{os.path.basename(wd)}"
+    q = streaming.sessionize_stream(stream, query_name=qn)
+    q.awaitTermination(300)
+    return (
+        spark.table(qn)
+        .groupBy("user_id", "session_idx")
+        .agg(F.count("*").alias("n_events"),
+             F.min("event_id").alias("first_event"))
+    )
+
+
 def q_bloom_point_lookup(spark, sf_dir):
     """Point lookup through bloom + min/max pruning + blob-level row
     filter (M6 parity, parquet.thrift:752-795): the returned rows are

@@ -25,7 +25,71 @@ from pyspark.sql import DataFrame
 
 from . import table
 
-__all__ = ["encode_stream", "windowed_stats_stream"]
+__all__ = ["encode_stream", "windowed_stats_stream", "sessionize_stream"]
+
+
+def sessionize_stream(
+    stream_df: DataFrame,
+    gap_minutes: int = 30,
+    query_name: str = "stream_sessions",
+):
+    """Custom stateful streaming operator via applyInPandasWithState:
+    per-user gap-based session assignment where the state (last event
+    time + running session index) survives across micro-batches — the
+    streaming twin of pipeline.sessionize. The per-group kernel is
+    vectorized numpy over the batch's events; state is two scalars per
+    user, which is what keeps the state store bounded at the
+    10¹²-event frame (plus a processing-time timeout to evict idle
+    users in production).
+
+    Emits one row per event (user_id, event_id, session_idx) to a
+    memory sink in append mode."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def assign(key, pdfs, state):
+        import numpy as np
+        import pandas as pd
+
+        last_us, sess = state.get if state.exists else (None, 0)
+        gap_us = gap_minutes * 60 * 1_000_000
+        out = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            us = pdf["ts"].astype("int64").to_numpy() // 1000  # ns → µs
+            prev = np.empty(len(us), dtype=np.int64)
+            prev[0] = last_us if last_us is not None else np.iinfo(np.int64).min
+            prev[1:] = us[:-1]
+            # min-sentinel makes the first-ever event open session 1
+            new = (us - prev > gap_us) | (prev == np.iinfo(np.int64).min)
+            sess_idx = sess + np.cumsum(new.astype(np.int64))
+            out.append(
+                pd.DataFrame(
+                    {
+                        "user_id": pdf["user_id"].to_numpy(),
+                        "event_id": pdf["event_id"].to_numpy(),
+                        "session_idx": sess_idx,
+                    }
+                )
+            )
+            if len(us):
+                last_us, sess = int(us[-1]), int(sess_idx[-1])
+        state.update((last_us if last_us is not None else 0, sess))
+        yield from out
+
+    sessions = stream_df.groupBy("user_id").applyInPandasWithState(
+        assign,
+        outputStructType="user_id long, event_id long, session_idx long",
+        stateStructType="last_us long, sess long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return (
+        sessions.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
 
 
 def windowed_stats_stream(

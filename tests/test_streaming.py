@@ -77,3 +77,47 @@ def test_stream_resume_processes_only_new_files(spark, dirs):
     old_ids = {e["chunk_id"] for e in snap1["entries"]}
     new_ids = {e["chunk_id"] for e in snap2["entries"]}
     assert old_ids < new_ids
+
+
+def test_stateful_stream_sessionize_matches_batch(spark, tmp_path):
+    """applyInPandasWithState sessionization: per-user state (last ts +
+    session counter) must survive micro-batch boundaries so the final
+    assignment equals the batch lag+cumsum computation."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from parquet_go_spark import pipeline, streaming
+
+    src_pq = "/root/testdata/sf0.001/events.parquet"
+    t = pq.read_table(src_pq)
+    t = t.take(pc.sort_indices(t, sort_keys=[("ts", "ascending"),
+                                             ("event_id", "ascending")]))
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    step = (t.num_rows + 2) // 3  # time-ordered micro-batches
+    for i in range(0, t.num_rows, step):
+        pq.write_table(t.slice(i, step), f"{src}/f{i // step}.parquet")
+
+    schema = spark.read.parquet(src_pq).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .select("user_id", "event_id", "ts")
+    )
+    q = streaming.sessionize_stream(stream, query_name="t_sess")
+    q.awaitTermination(300)
+    got = (
+        spark.table("t_sess")
+        .groupBy("user_id", "session_idx")
+        .agg(F.count("*").alias("n_events"),
+             F.min("event_id").alias("first_event"))
+    )
+    want = pipeline.sessionize(spark, "/root/testdata/sf0.001").select(
+        "user_id", "session_idx", "n_events", "first_event"
+    )
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
