@@ -371,21 +371,22 @@ def q_rle_runs(spark, sf_dir):
         if tbl.num_rows == 0:
             return
         pid = TaskContext.get().partitionId() if TaskContext.get() else 0
-        flags = np.asarray(
-            tbl.column("l_returnflag").to_pylist(), dtype=object
-        )
-        starts = np.ones(len(flags), dtype=bool)
-        starts[1:] = flags[1:] != flags[:-1]
-        run_flags = flags[starts]
-        uniq, run_counts = np.unique(run_flags, return_counts=True)
-        _, row_counts = np.unique(np.sort(flags), return_counts=True)
+        denc = tbl.column("l_returnflag").combine_chunks() \
+            .dictionary_encode()
+        idx = denc.indices.to_numpy(zero_copy_only=False)
+        flags = denc.dictionary.to_pylist()  # O(cardinality), tiny
+        starts = np.ones(len(idx), dtype=bool)
+        starts[1:] = idx[1:] != idx[:-1]
+        run_counts = np.bincount(idx[starts], minlength=len(flags))
+        row_counts = np.bincount(idx, minlength=len(flags))
         rows = [
             {
-                "pid": pid, "flag": str(u),
-                "n_runs": int(rc), "n_rows": int(nc),
-                "first_flag": str(flags[0]), "last_flag": str(flags[-1]),
+                "pid": pid, "flag": flags[c],
+                "n_runs": int(run_counts[c]), "n_rows": int(row_counts[c]),
+                "first_flag": flags[idx[0]], "last_flag": flags[idx[-1]],
             }
-            for u, rc, nc in zip(uniq, run_counts, row_counts)
+            for c in range(len(flags))
+            if row_counts[c]
         ]
         yield pa.RecordBatch.from_pylist(rows)
 
