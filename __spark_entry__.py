@@ -92,6 +92,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # training-data pipeline operators
         "dedup_exact": P.dedup_exact,
         "dedup_ngram_jaccard": P.dedup_ngram_jaccard,
+        "dedup_components": P.dedup_components,
         "dedup_minhash_lsh": P.dedup_minhash_lsh,   # rows-only
         "dedup_embedding": P.dedup_embedding,
         "simhash": P.simhash,                        # rows-only
@@ -386,6 +387,35 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes na ON na.doc_id = doc_a
             JOIN sizes nb ON nb.doc_id = doc_b
             WHERE inter*10 >= (na.n_sh + nb.n_sh - inter)*3""",
+        "dedup_components": """
+            WITH RECURSIVE
+            toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                     FROM documents),
+            sh AS (SELECT DISTINCT doc_id, shingle FROM (
+                       SELECT doc_id, unnest(list_transform(
+                           range(1, greatest(len(t)-2, 0) + 1),
+                           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+                           AS shingle
+                       FROM toks)),
+            sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh
+                      FROM sh GROUP BY doc_id),
+            prs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                           CAST(count(*) AS BIGINT) AS inter
+                    FROM sh a JOIN sh b USING (shingle)
+                    WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+            good AS (SELECT doc_a, doc_b FROM prs
+                     JOIN sizes na ON na.doc_id = doc_a
+                     JOIN sizes nb ON nb.doc_id = doc_b
+                     WHERE inter*10 >= (na.n_sh + nb.n_sh - inter)*3),
+            edges AS (SELECT doc_a, doc_b FROM good
+                      UNION ALL SELECT doc_b, doc_a FROM good),
+            reach(doc_id, r) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT reach.doc_id, e.doc_b
+                FROM reach JOIN edges e ON reach.r = e.doc_a)
+            SELECT doc_id, min(r) AS component
+            FROM reach GROUP BY doc_id""",
         "dedup_embedding": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                    round(list_cosine_similarity(a.embedding::DOUBLE[],

@@ -103,6 +103,53 @@ def dedup_ngram_jaccard(spark, sf_dir, threshold_num=3, threshold_den=10,
     )
 
 
+def dedup_components(spark, sf_dir, threshold_num=3, threshold_den=10,
+                     max_iters: int = 20):
+    """Near-dup clustering: connected components over the exact-Jaccard
+    pair graph, so each duplicate cluster keeps ONE canonical document
+    (min doc_id). Iterative min-label propagation — each round is a
+    join + min-aggregate on (doc_id,label) pairs, converging in
+    O(component diameter) rounds (dup clusters are shallow; at corpus
+    scale checkpoint every few rounds to cut the lineage). Singleton
+    documents keep their own id as the component."""
+    docs = _documents(spark, sf_dir).select("doc_id")
+    pairs = dedup_ngram_jaccard(
+        spark, sf_dir, threshold_num, threshold_den
+    ).select("doc_a", "doc_b")
+    edges = pairs.unionByName(
+        pairs.select(F.col("doc_b").alias("doc_a"),
+                     F.col("doc_a").alias("doc_b"))
+    ).cache()
+    labels = docs.select("doc_id", F.col("doc_id").alias("component")).cache()
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, edges.doc_b == labels.doc_id)
+            .groupBy(F.col("doc_a").alias("doc_id"))
+            .agg(F.min("component").alias("n_min"))
+        )
+        updated = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(F.col("component"),
+                        F.coalesce(F.col("n_min"), F.col("component")))
+                .alias("component"),
+            )
+            .cache()
+        )
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), "doc_id")
+            .filter(F.col("u.component") != F.col("l.component"))
+            .count()
+        )
+        labels.unpersist()
+        labels = updated
+        if changed == 0:
+            break
+    return labels.select("doc_id", "component")
+
+
 N_MINHASH = 32
 LSH_BANDS = 8  # 8 bands × 4 rows
 
