@@ -18,13 +18,28 @@ re-expressed Spark-first (SURVEY.md):
   kernels → encoded-chunk files + lineage manifests (``manifest.py``)
   with atomic snapshot commits, checkpoint resume, time travel,
   per-chunk bloom filters, and blob-level projection/filter pushdown.
-- ``streaming.py`` (exactly-once micro-batch ingest), ``table.py``
-  (write_table / read_table / compact), ``pipeline.py`` (dedup /
-  similarity / text analysis), ``multimodal.py`` (binary payloads).
+- ``streaming.py`` (exactly-once micro-batch ingest, windowed
+  aggregation, applyInPandasWithState sessionization), ``table.py``
+  (write_table / write_table_direct / read_table / compact /
+  delete_rows / upsert_table / count_rows), ``pipeline.py`` (dedup ×6
+  incl. connected components, ANN ×3, sessionization, text analysis),
+  ``multimodal.py`` (binary payloads), ``sources.py`` (JSON records),
+  ``clustering.py`` (Z-order chunk clustering).
 """
 
-from .table import compact, read_table, verify_roundtrip, write_table
+from .table import (
+    compact,
+    count_rows,
+    delete_rows,
+    read_table,
+    upsert_table,
+    verify_roundtrip,
+    write_table,
+    write_table_direct,
+)
 
-__all__ = ["write_table", "read_table", "compact", "verify_roundtrip"]
+__all__ = ["write_table", "write_table_direct", "read_table", "compact",
+           "delete_rows", "upsert_table", "count_rows",
+           "verify_roundtrip"]
 
 __version__ = "0.2.0"
