@@ -882,8 +882,9 @@ def q_delete_rows(spark, sf_dir):
         df, out, key_cols=LINEITEM_KEY, num_chunks=n_chunks,
         chunk_expr=F.floor(F.col("l_orderkey") / F.lit(block)),
     )
+    lo, hi = 10_000, 20_000
     info = table.delete_rows(spark, out,
-                             predicates={"l_orderkey": (10_000, 20_000)})
+                             predicates={"l_orderkey": (lo, hi)})
     assert info["rewritten_chunks"] < n_chunks, info  # pruning worked
     return table.read_table(spark, out)
 

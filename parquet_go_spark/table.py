@@ -466,7 +466,9 @@ def delete_rows(spark: SparkSession, table_dir: str,
     keep = [e for e in listing["entries"]
             if e["chunk_id"] not in affected_ids]
     if not affected:
-        return {"deleted_chunks": 0, "n_chunks": len(keep)}
+        return {"snapshot_id": listing["snapshot_id"],
+                "rewritten_chunks": 0, "untouched_chunks": len(keep),
+                "n_chunks": len(keep)}
     schema = StructType(
         [StructField(f.name, f.dataType, True, f.metadata)
          for f in StructType.fromJson(json.loads(listing["schema_ddl"])).fields]
