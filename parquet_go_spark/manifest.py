@@ -283,6 +283,8 @@ def expire_snapshots(table_dir: str, keep: int = 2) -> dict:
         listing = load(table_dir, snapshot_id=s)
         for ref in listing.get("manifest_shards", []):
             keep_shards.add(os.path.basename(ref["file"]))
+        if listing.get("manifest"):  # pre-0.2 single-file snapshot
+            keep_shards.add(os.path.basename(listing["manifest"]))
         for e in listing["entries"]:
             keep_files.add(os.path.basename(e["file"]))
     deleted_chunks = 0
