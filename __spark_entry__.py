@@ -74,6 +74,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "manifest_write": Q.q_manifest_write,
         "decode_chunks": Q.q_decode_chunks,
         "chunk_skip_filter": Q.q_chunk_skip_filter,
+        "stats_pushdown": Q.q_stats_pushdown,
+        "text_search": Q.q_text_search,
         "bloom_point_lookup": Q.q_bloom_point_lookup,
         "resume_from_manifest": Q.q_resume_from_manifest,
         "resume_stale_values": Q.q_resume_stale_values,
@@ -265,6 +267,15 @@ def oracle_sql() -> dict[str, str]:
         "decode_chunks": "SELECT l_orderkey, l_extendedprice FROM lineitem",
         "chunk_skip_filter":
             "SELECT * FROM lineitem WHERE l_orderkey BETWEEN 1000 AND 3000",
+        "text_search":
+            "SELECT doc_id, n_chars FROM documents "
+            "WHERE list_contains(string_split(text, ' '), 'window')",
+        "stats_pushdown":
+            "SELECT CAST(count(*) AS BIGINT) AS n, "
+            "CAST(count(*) - count(l_quantity) AS BIGINT) AS nulls, "
+            "CAST(min(l_quantity) AS DOUBLE) AS min_v, "
+            "CAST(max(l_quantity) AS DOUBLE) AS max_v, "
+            "CAST(sum(l_quantity) AS DOUBLE) AS sum_v FROM lineitem",
         "bloom_point_lookup":
             "SELECT * FROM lineitem WHERE l_orderkey = 1000",
         "resume_from_manifest":

@@ -106,7 +106,8 @@ def _encode_struct_shredded(arr: pa.Array) -> tuple[dict, dict]:
 
 def _encode_one_column(arr: pa.Array, name: str,
                        override: tuple[str, str] | None,
-                       with_bloom: bool = False) -> tuple[bytes, dict]:
+                       with_bloom: bool = False,
+                       with_token_bloom: bool = False) -> tuple[bytes, dict]:
     st = profile_array(arr, name)
     codec, entropy = override if override else choose_codec(st)
     blob = encode_array(arr, codec, entropy)
@@ -146,6 +147,17 @@ def _encode_one_column(arr: pa.Array, name: str,
         "enc_bytes": len(blob),
         "crc32": zlib.crc32(blob),
     }
+    # exact per-chunk sum for numeric columns → table-level
+    # sum/avg answerable from the manifest alone (aggregate pushdown;
+    # ints sum exactly as Python bigints, floats as float64)
+    t = arr.type
+    if pa.types.is_integer(t) or pa.types.is_floating(t):
+        import pyarrow.compute as pc
+
+        s = pc.sum(arr)
+        if s.is_valid:
+            v = s.as_py()
+            meta["sum"] = float(v) if pa.types.is_floating(t) else int(v)
     if with_bloom:
         import pyarrow.compute as pc
 
@@ -154,6 +166,17 @@ def _encode_one_column(arr: pa.Array, name: str,
         meta["bloom"] = bloom_build(
             pc.unique(arr.drop_null() if arr.null_count else arr)
         )
+    if with_token_bloom:
+        # token-level bloom over the chunk's distinct whitespace tokens
+        # (a per-chunk inverted-index sketch: full-text point lookups
+        # prune chunks before any decode) — all arrow C kernels
+        import pyarrow.compute as pc
+
+        from .kernels.bloom import bloom_build
+
+        a = arr.drop_null() if arr.null_count else arr
+        toks = pc.unique(pc.list_flatten(pc.split_pattern(a, " ")))
+        meta["token_bloom"] = bloom_build(toks)
     return blob, meta
 
 
@@ -219,7 +242,8 @@ def _chunk_matches(prev: dict, chunk: pa.Table,
 def _encode_or_reuse(chunk: pa.Table, chunk_id: str, table_dir: str,
                      key_cols: tuple[str, ...], overrides: dict,
                      resume: bool, bloom_cols: tuple[str, ...],
-                     attempt: str) -> dict:
+                     attempt: str,
+                     token_bloom_cols: tuple[str, ...] = ()) -> dict:
     """Encode one chunk table → write its file → manifest entry; reuse
     a committed fingerprint-identical chunk when ``resume``."""
     fpath = os.path.join(table_dir, "chunks", f"chunk-{chunk_id}.parquet")
@@ -244,6 +268,7 @@ def _encode_or_reuse(chunk: pa.Table, chunk_id: str, table_dir: str,
         blob, meta = _encode_one_column(
             arr, name, overrides.get(name),
             with_bloom=name in bloom_cols,
+            with_token_bloom=name in token_bloom_cols,
         )
         columns_meta[name] = meta
         blobs[BLOB_COL_PREFIX + name] = blob
@@ -272,7 +297,8 @@ def _encode_or_reuse(chunk: pa.Table, chunk_id: str, table_dir: str,
 def make_encode_fn(table_dir: str, key_cols: tuple[str, ...],
                    overrides: dict[str, tuple[str, str]] | None = None,
                    resume: bool = True, chunk_prefix: str = "",
-                   bloom_cols: tuple[str, ...] = ()):
+                   bloom_cols: tuple[str, ...] = (),
+                   token_bloom_cols: tuple[str, ...] = ()):
     """Build the mapInArrow UDF: iterator[RecordBatch] → entry_json rows.
 
     ``chunk_prefix`` namespaces chunk ids (streaming micro-batches use
@@ -308,7 +334,7 @@ def make_encode_fn(table_dir: str, key_cols: tuple[str, ...],
             chunk_id = f"{chunk_prefix}{int(ck[lo]):06d}"
             entry = _encode_or_reuse(
                 data.slice(lo, hi - lo), chunk_id, table_dir, key_cols,
-                overrides, resume, bloom_cols, attempt,
+                overrides, resume, bloom_cols, attempt, token_bloom_cols,
             )
             yield pa.RecordBatch.from_pydict(
                 {"entry_json": pa.array([json.dumps(entry)])}

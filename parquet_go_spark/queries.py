@@ -600,6 +600,31 @@ def q_decode_chunks(spark, sf_dir):
     )
 
 
+def q_text_search(spark, sf_dir):
+    """Full-text point lookup through per-chunk token blooms: documents
+    encoded with token_bloom_cols=("text",), then an exact whitespace-
+    token search — bloom pruning first, residual filter exact."""
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    out = os.path.join(tempfile.mkdtemp(prefix="pgs_ts_"), "documents")
+    table.write_table(docs, out, key_cols=("doc_id",), num_chunks=8,
+                      token_bloom_cols=("text",))
+    return table.search_text(spark, out, "text", "window",
+                             columns=["doc_id", "n_chars"])
+
+
+def q_stats_pushdown(spark, sf_dir):
+    """Aggregate pushdown: count / null_count / min / max / sum of
+    l_quantity answered from the manifest alone — zero chunk I/O, no
+    Spark job (RowGroup-statistics parity at table level)."""
+    st = table.column_stats(encoded_lineitem_dir(spark, sf_dir),
+                            "l_quantity")
+    return spark.createDataFrame(
+        [(st["count"], st["null_count"], float(st["min"]),
+          float(st["max"]), float(st["sum"]))],
+        "n long, nulls long, min_v double, max_v double, sum_v double",
+    )
+
+
 def q_chunk_skip_filter(spark, sf_dir):
     """Range-chunked write → manifest min/max pruning → exact filter.
     The predicate decodes only overlapping chunks (P3 parity)."""

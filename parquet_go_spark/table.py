@@ -22,7 +22,7 @@ from .decode import make_decode_fn, prune_entries
 from .encode import make_encode_fn
 
 __all__ = ["write_table", "write_table_direct", "read_table", "compact",
-           "count_rows", "delete_rows", "upsert_table",
+           "count_rows", "column_stats", "search_text", "delete_rows", "upsert_table",
            "verify_roundtrip", "validate_schema", "TRANSCRIPT_DDL"]
 
 DEFAULT_ROWS_PER_CHUNK = 262_144
@@ -69,6 +69,7 @@ def write_table(
     append: bool = False,
     shuffle: bool = True,
     bloom_cols: tuple[str, ...] = (),
+    token_bloom_cols: tuple[str, ...] = (),
 ) -> dict:
     """Encode ``df`` into an Iceberg-style encoded-chunk table.
 
@@ -95,6 +96,7 @@ def write_table(
     entries, extra = _encode_entries(
         df, table_dir, key_cols, num_chunks, rows_per_chunk, salt_block,
         overrides, resume, chunk_expr, chunk_prefix, bloom_cols, shuffle,
+        token_bloom_cols,
     )
     snapshot = manifest.commit(
         table_dir, entries, schema_ddl=df.schema.json(),
@@ -123,6 +125,7 @@ def _encode_entries(
     chunk_prefix: str,
     bloom_cols: tuple[str, ...],
     shuffle: bool,
+    token_bloom_cols: tuple[str, ...] = (),
 ) -> tuple[list[dict], dict]:
     """Run the encode job (stage → mapInArrow → collect entry rows)
     WITHOUT committing — write_table commits the result; compact()
@@ -169,7 +172,7 @@ def _encode_entries(
         extra = {"num_chunks": num_chunks, "salt_block": salt_block,
                  "key_cols": list(key_cols)}
     encode_fn = make_encode_fn(table_dir, key_cols, overrides, resume,
-                               chunk_prefix, bloom_cols)
+                               chunk_prefix, bloom_cols, token_bloom_cols)
     entry_rows = staged.mapInArrow(encode_fn, "entry_json string").collect()
     return [json.loads(r.entry_json) for r in entry_rows], extra
 
@@ -574,6 +577,80 @@ def upsert_table(spark: SparkSession, table_dir: str,
         "rewritten_chunks": len(affected),
         "new_chunks": len(new_entries) - len(affected),
         "upserted_rows": df.count(),
+    }
+
+
+def search_text(
+    spark: SparkSession,
+    table_dir: str,
+    column: str,
+    token: str,
+    columns: list[str] | None = None,
+) -> DataFrame:
+    """Full-text point lookup: chunks whose token bloom cannot contain
+    ``token`` are skipped (per-chunk inverted-index sketch, built with
+    ``write_table(token_bloom_cols=(column,))``); survivors decode and
+    the exact whitespace-token match filters residually. At the
+    10^12-turn frame this turns "find conversations mentioning X" into
+    a handful of chunk decodes instead of a corpus scan."""
+    from .kernels.bloom import bloom_contains
+
+    listing = manifest.load(table_dir)
+    if listing is None:
+        raise FileNotFoundError(f"no committed snapshot in {table_dir}")
+    schema = StructType.fromJson(json.loads(listing["schema_ddl"]))
+    sel = columns or [f.name for f in schema.fields]
+    sub = StructType(
+        [StructField(f.name, f.dataType, True, f.metadata)
+         for f in schema.fields if f.name in set(sel + [column])]
+    )
+    kept = []
+    for e in listing["entries"]:
+        tb = e["columns"].get(column, {}).get("token_bloom")
+        if tb is None or bloom_contains(tb, token):
+            kept.append(e)
+    if not kept:
+        return spark.createDataFrame([], sub).select(*sel)
+    decoded = _decode_entries_df(spark, table_dir, kept, sub)
+    return decoded.filter(
+        F.array_contains(F.split(F.col(column), " "), token)
+    ).select(*sel)
+
+
+def column_stats(table_dir: str, column: str,
+                 snapshot_id: int | None = None) -> dict:
+    """Aggregate pushdown from the manifest alone — count / null_count
+    / min / max / sum (numerics) without touching a chunk file, the
+    way Parquet readers answer these from RowGroup statistics. Returns
+    None fields when a chunk lacks the stat (conservative)."""
+    listing = manifest.load(table_dir, snapshot_id=snapshot_id)
+    if listing is None:
+        raise FileNotFoundError(f"no committed snapshot in {table_dir}")
+    n = nulls = 0
+    mn = mx = total = None
+    have_all_sums = True
+    for e in listing["entries"]:
+        m = e["columns"].get(column)
+        if m is None:  # schema evolution: column absent → all null
+            n += e["n_rows"]
+            nulls += e["n_rows"]
+            continue
+        n += m["n"]
+        nulls += m["nulls"]
+        if m.get("min") is not None:
+            mn = m["min"] if mn is None else min(mn, m["min"])
+        if m.get("max") is not None:
+            mx = m["max"] if mx is None else max(mx, m["max"])
+        if m.get("sum") is not None:
+            total = m["sum"] if total is None else total + m["sum"]
+        elif m["n"] > m["nulls"]:
+            have_all_sums = False
+    return {
+        "count": n,
+        "null_count": nulls,
+        "min": mn,
+        "max": mx,
+        "sum": total if have_all_sums else None,
     }
 
 

@@ -663,3 +663,36 @@ def test_schema_evolution_type_widening(spark, tmp_path):
         v1.agg(F.sum("turn_idx")).collect()[0][0]
         + v2.agg(F.sum("turn_idx")).collect()[0][0]
     )
+
+
+def test_token_bloom_text_search(spark, transcripts, tmp_path):
+    """Per-chunk token blooms prune chunks for full-text point lookups;
+    the residual exact-token filter returns exactly the matching rows."""
+    import pyspark.sql.functions as F
+
+    # plant a rare token into two conversations
+    df = transcripts.withColumn(
+        "text",
+        F.when(F.col("conv_id").isin("conv-00000003", "conv-00000011")
+               & (F.col("turn_idx") == 0),
+               F.concat(F.col("text"), F.lit(" zanzibar")))
+        .otherwise(F.col("text")),
+    )
+    out = str(tmp_path / "tbl")
+    table.write_table(df, out, num_chunks=12,
+                      token_bloom_cols=("text",))
+    listing = manifest.load(out)
+    assert all("token_bloom" in e["columns"]["text"]
+               for e in listing["entries"])
+    from parquet_go_spark.kernels.bloom import bloom_contains
+
+    pruned = [e for e in listing["entries"]
+              if bloom_contains(e["columns"]["text"]["token_bloom"],
+                                "zanzibar")]
+    assert len(pruned) < listing["n_chunks"]  # most chunks skipped
+    got = table.search_text(spark, out, "text", "zanzibar",
+                            columns=["conv_id", "turn_idx"])
+    rows = {(r["conv_id"], r["turn_idx"]) for r in got.collect()}
+    assert rows == {("conv-00000003", 0), ("conv-00000011", 0)}
+    # absent token → empty, zero decodes
+    assert table.search_text(spark, out, "text", "xylophone").count() == 0
