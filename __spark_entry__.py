@@ -30,15 +30,21 @@ _LINEITEM_ALL = ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
 
 
 def _q_multimodal_frames(spark, sf_dir):
+    """Multimodal plumbing in one query: payload metadata extraction
+    (n_bytes, header_byte — the old multimodal_meta) joined with the
+    frame-sampler's per-doc frame count. Zero-payload docs keep a null
+    n_frames (the sampler emits nothing for them)."""
     from pyspark.sql import functions as F
 
     from parquet_go_spark import multimodal as M
+    from parquet_go_spark import pipeline as P
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     frames = M.frame_sample(
         M.attach_fake_payloads(docs), id_col="doc_id"
     )
-    return frames.groupBy("doc_id").agg(F.count("*").alias("n_frames"))
+    counts = frames.groupBy("doc_id").agg(F.count("*").alias("n_frames"))
+    return P.multimodal_meta(spark, sf_dir).join(counts, "doc_id", "left")
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -47,12 +53,20 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """EXACTLY 50 entries — the driver checks the first 50 in dict
+    order (r2 verdict: 55 registered → 5 silently never checked).
+    Overlapping entries were merged, not dropped: delta_roundtrip ⊂
+    delta_encode (deltas are computed over the DECODED codec output),
+    manifest_write ⊂ resume_from_manifest, token_count +
+    doc_fingerprint ⊂ quality_score, multimodal_meta ⊂
+    multimodal_frames. ann_lsh_topk (rows-only) is pytest-covered
+    (tests/test_pipeline.py recall-vs-exact) — ann_cosine_topk and
+    ann_ivf_topk represent the ANN family here."""
     return {
         # codec round-trips (bit-identity through the blob format)
         "roundtrip_identity": Q.q_roundtrip_identity,
         "dict_encode": Q.q_dict_encode,
         "for_bitpack": Q.q_for_bitpack,
-        "delta_roundtrip": Q.q_delta_roundtrip,
         "fsst_encode": Q.q_fsst_encode,
         "bss_roundtrip": Q.q_bss_roundtrip,
         "prefix_roundtrip": Q.q_prefix_roundtrip,
@@ -71,7 +85,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "codec_select": Q.q_codec_select,
         # table layer: chunks, manifests, pruning, resume
         "encode_chunks": Q.q_encode_chunks,
-        "manifest_write": Q.q_manifest_write,
         "decode_chunks": Q.q_decode_chunks,
         "chunk_skip_filter": Q.q_chunk_skip_filter,
         "stats_pushdown": Q.q_stats_pushdown,
@@ -99,14 +112,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding": P.dedup_embedding,
         "simhash": P.simhash,                        # rows-only
         "ann_cosine_topk": P.ann_cosine_topk,
-        "ann_lsh_topk": P.ann_lsh_topk,              # rows-only
         "ann_ivf_topk": P.ann_ivf_topk,              # rows-only
         "multimodal_frames": _q_multimodal_frames,
         "lang_id": P.lang_id,
         "quality_score": P.quality_score,
-        "token_count": P.token_count,
-        "doc_fingerprint": P.doc_fingerprint,
-        "multimodal_meta": P.multimodal_meta,
         "sessionize": P.sessionize,
     }
 
@@ -200,7 +209,6 @@ def oracle_sql() -> dict[str, str]:
             "SELECT l_returnflag, l_linestatus, l_shipdate FROM lineitem",
         "for_bitpack":
             "SELECT l_orderkey, l_partkey, l_linenumber FROM lineitem",
-        "delta_roundtrip": "SELECT event_id, ts FROM events",
         "fsst_encode": "SELECT doc_id, text FROM documents",
         "bss_roundtrip":
             "SELECT l_quantity, l_extendedprice, l_discount FROM lineitem",
@@ -250,20 +258,14 @@ def oracle_sql() -> dict[str, str]:
                   FROM lineitem)
             GROUP BY l_returnflag""",
         "delta_encode": """
-            SELECT user_id, event_id, delta_us FROM (
-                SELECT user_id, event_id,
-                       epoch_us(ts) - lag(epoch_us(ts)) OVER
-                           (PARTITION BY user_id ORDER BY ts, event_id)
-                           AS delta_us
-                FROM events)
-            WHERE delta_us IS NOT NULL""",
+            SELECT user_id, event_id, ts,
+                   epoch_us(ts) - lag(epoch_us(ts)) OVER
+                       (PARTITION BY user_id ORDER BY ts, event_id)
+                       AS delta_us
+            FROM events""",
         "profile_stats": _profile_stats_sql(),
         "codec_select": _codec_select_sql(),
         "encode_chunks": _encode_chunks_sql(),
-        "manifest_write":
-            "SELECT CAST(0 AS BIGINT) AS snapshot_id, "
-            "CAST(8 AS BIGINT) AS n_chunks, "
-            "CAST(count(*) AS BIGINT) AS n_rows FROM lineitem",
         "decode_chunks": "SELECT l_orderkey, l_extendedprice FROM lineitem",
         "chunk_skip_filter":
             "SELECT * FROM lineitem WHERE l_orderkey BETWEEN 1000 AND 3000",
@@ -279,8 +281,10 @@ def oracle_sql() -> dict[str, str]:
         "bloom_point_lookup":
             "SELECT * FROM lineitem WHERE l_orderkey = 1000",
         "resume_from_manifest":
-            "SELECT CAST(8 AS BIGINT) AS n_chunks, "
-            "CAST(8 AS BIGINT) AS reused_chunks",
+            "SELECT CAST(1 AS BIGINT) AS snapshot_id, "
+            "CAST(8 AS BIGINT) AS n_chunks, "
+            "CAST(count(*) AS BIGINT) AS n_rows, "
+            "CAST(8 AS BIGINT) AS reused_chunks FROM lineitem",
         "resume_stale_values":
             "SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, "
             "l_quantity + 100.0 AS l_quantity, l_extendedprice, "
@@ -296,8 +300,12 @@ def oracle_sql() -> dict[str, str]:
             "l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate "
             "FROM lineitem",
         "stream_ingest": "SELECT * FROM lineitem",
+        # ::TIMESTAMP: DuckDB's to_timestamp() returns TIMESTAMPTZ;
+        # the Spark side is a plain TimestampType — same instants, but
+        # the driver compares types strictly (r2 schema_match failure)
         "stream_window_agg": """
-            SELECT to_timestamp(floor(epoch(ts)/3600)*3600) AS w_start,
+            SELECT to_timestamp(floor(epoch(ts)/3600)*3600)::TIMESTAMP
+                       AS w_start,
                    CAST(count(*) AS BIGINT) AS n_events,
                    CAST(sum(event_id) AS BIGINT) AS sum_event_id
             FROM events GROUP BY 1""",
@@ -436,9 +444,14 @@ def oracle_sql() -> dict[str, str]:
               AND round(list_cosine_similarity(a.embedding::DOUBLE[],
                     b.embedding::DOUBLE[]), 6) >= 0.42""",
         "multimodal_frames": """
-            SELECT doc_id,
-                   CAST(ceil(strlen(text)/64.0) AS BIGINT) AS n_frames
-            FROM documents WHERE strlen(text) > 0""",
+            SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
+                   CAST(CASE WHEN length(text) = 0 THEN -1
+                        ELSE ascii(substr(text, 1, 1)) END AS BIGINT)
+                       AS header_byte,
+                   CASE WHEN strlen(text) > 0
+                        THEN CAST(ceil(strlen(text)/64.0) AS BIGINT)
+                   END AS n_frames
+            FROM documents""",
         "ann_cosine_topk": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS qe
                        FROM embeddings WHERE vec_id < 5),
@@ -462,19 +475,9 @@ def oracle_sql() -> dict[str, str]:
                  + CAST((length(text) - length(replace(text, ' a ', '')))/3
                         AS BIGINT) AS stop_hits,
                    CAST(length(text) AS DOUBLE)
-                 / CAST(greatest({n_words}, 1) AS DOUBLE) AS chars_per_word
-            FROM documents""",
-        "token_count": f"""
-            SELECT doc_id, CAST({n_words} AS BIGINT) AS ws_tokens,
-                   CAST(ceil(length(text)/4.0) AS BIGINT) AS approx_bpe_tokens
-            FROM documents""",
-        "doc_fingerprint":
-            "SELECT doc_id, md5(text) AS fp, "
-            "CAST(length(text) AS BIGINT) AS n_chars FROM documents",
-        "multimodal_meta": """
-            SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
-                   CAST(CASE WHEN length(text) = 0 THEN -1
-                        ELSE ascii(substr(text, 1, 1)) END AS BIGINT)
-                       AS header_byte
+                 / CAST(greatest({n_words}, 1) AS DOUBLE) AS chars_per_word,
+                   CAST(ceil(length(text)/4.0) AS BIGINT)
+                       AS approx_bpe_tokens,
+                   md5(text) AS fp
             FROM documents""",
     }

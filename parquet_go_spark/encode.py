@@ -104,6 +104,87 @@ def _encode_struct_shredded(arr: pa.Array) -> tuple[dict, dict]:
     return blobs, meta
 
 
+def _encode_list_struct_shredded(arr: pa.Array) -> tuple[dict, dict]:
+    """Shred a list<struct<...>> column (the realistic tool-call shape:
+    one transcript turn carries a variable-length list of typed call
+    records). Dremel-style: per struct-child blob over the FLATTENED
+    elements (so ``read_table(columns=["tool_calls.name"])`` reads and
+    decodes only that child's bytes) plus a shell carrying the list
+    offsets, list validity, element validity and the arrow type.
+    Returns ({suffix: blob} with "" = shell, column meta)."""
+    import struct as _s
+
+    import pyarrow.compute as pc
+
+    from .codec import _type_bytes, encode_array
+    from .kernels.rle import rle_encode
+    from .plan import choose_codec, profile_array
+
+    n = len(arr)
+    tb = _type_bytes(arr.type)
+    if arr.null_count:
+        valid = arr.is_valid().to_numpy(zero_copy_only=False).astype(np.uint64)
+        mask = rle_encode(valid, 1)
+        shell = (_s.pack("<BQB", 2, n, 1)
+                 + _s.pack("<QI", n - arr.null_count, len(mask)) + mask)
+    else:
+        shell = _s.pack("<BQB", 2, n, 0)
+    shell += _s.pack("<I", len(tb)) + tb
+    # offsets over ALL n lists (null list → 0 elements) — decoupled
+    # from validity so decode can rebuild either child or full column
+    lens = pc.list_value_length(arr).cast(pa.int64())
+    if lens.null_count:
+        lens = lens.fill_null(0)
+    lens_np = lens.to_numpy(zero_copy_only=False)
+    offs = np.zeros(n + 1, np.int64)
+    np.cumsum(lens_np, out=offs[1:])
+    off_blob = encode_array(pa.array(offs, pa.int64()), "pfor", "none")
+    shell += _s.pack("<I", len(off_blob)) + off_blob
+    elems = pc.list_flatten(arr)
+    if isinstance(elems, pa.ChunkedArray):
+        elems = elems.combine_chunks()
+    if elems.null_count:  # null struct ELEMENTS inside lists
+        evalid = elems.is_valid().to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+        emask = rle_encode(evalid, 1)
+        shell += _s.pack("<BQI", 1, len(elems) - elems.null_count,
+                         len(emask)) + emask
+        elems_nn = elems.drop_null()
+    else:
+        shell += _s.pack("<B", 0)
+        elems_nn = elems
+    blobs = {"": shell}
+    children_meta = {}
+    st = arr.type.value_type
+    children = elems_nn.flatten() if len(elems_nn) else [
+        pa.array([], st.field(i).type) for i in range(st.num_fields)
+    ]
+    for i, child in enumerate(children):
+        child = (child.combine_chunks()
+                 if isinstance(child, pa.ChunkedArray) else child)
+        fname = st.field(i).name
+        c, e = choose_codec(profile_array(child, fname))
+        blob = encode_array(child, c, e)
+        blobs[fname] = blob
+        children_meta[fname] = {
+            "codec": c, "entropy": e, "enc_bytes": len(blob),
+            "crc32": zlib.crc32(blob),
+        }
+    meta = {
+        "codec": "list_shred",
+        "entropy": "none",
+        "n": n,
+        "nulls": arr.null_count,
+        "min": None,
+        "max": None,
+        "raw_bytes": int(arr.nbytes),
+        "enc_bytes": sum(len(b) for b in blobs.values()),
+        "crc32": zlib.crc32(shell),
+        "children": children_meta,
+    }
+    return blobs, meta
+
+
 def _encode_one_column(arr: pa.Array, name: str,
                        override: tuple[str, str] | None,
                        with_bloom: bool = False,

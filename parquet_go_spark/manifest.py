@@ -34,9 +34,50 @@ import tempfile
 from typing import Any
 
 __all__ = ["commit", "load", "expire_snapshots", "list_chunk_files",
-           "stat_value", "ENGINE_VERSION"]
+           "stat_value", "check_chunk_layout", "ENGINE_VERSION",
+           "IncompatibleTableError"]
 
 ENGINE_VERSION = "parquet_go_spark-0.2.0"
+
+# Chunk FILE layout generation: bumped when the on-disk chunk parquet
+# schema changes incompatibly (0.1 = row-per-blob; 0.2 = one row with
+# b_<col> blob columns + embedded entry). Entries record the writing
+# engine; readers refuse older layouts with a migration error instead
+# of failing half-way through a scan (or silently mis-pruning on a
+# bloom whose hash scheme changed between layouts).
+MIN_READABLE_LAYOUT = (0, 2)
+
+
+class IncompatibleTableError(RuntimeError):
+    """Table contains chunk files written by an incompatible engine
+    layout; rewrite (decode with the old engine, re-encode) to read."""
+
+
+def _entry_layout(e: dict) -> tuple[int, int]:
+    eng = e.get("engine") or ""
+    try:
+        ver = eng.rsplit("-", 1)[1].split(".")
+        return int(ver[0]), int(ver[1])
+    except (IndexError, ValueError):
+        return (0, 1)  # pre-0.2 entries lack/garble the engine field
+
+
+def check_chunk_layout(entries: list[dict]) -> None:
+    """Raise IncompatibleTableError if any entry's chunk file uses a
+    layout older than this reader supports (decode would otherwise
+    fail mid-scan with an opaque parquet column error — and pre-0.2
+    blooms use a different hash scheme, so trusting them could
+    silently skip live chunks)."""
+    for e in entries:
+        if _entry_layout(e) < MIN_READABLE_LAYOUT:
+            raise IncompatibleTableError(
+                f"chunk {e.get('chunk_id')!r} was written by "
+                f"{e.get('engine') or 'a pre-0.2 engine'} using the "
+                "row-per-blob chunk layout; this reader supports layout "
+                f">= {'.'.join(map(str, MIN_READABLE_LAYOUT))}. "
+                "Migrate by decoding the table with the matching engine "
+                "version and re-encoding with write_table()."
+            )
 
 
 def stat_value(v: Any):
@@ -97,7 +138,11 @@ def _acquire_commit_lock(table_dir: str, timeout: float):
     """O_CREAT|O_EXCL lock file around the read-merge-swing window so
     two concurrent writers cannot both commit against the same parent
     and silently drop one side's entries. Stale locks (older than
-    ``_LOCK_TIMEOUT_S``, e.g. a crashed driver) are broken."""
+    ``_LOCK_TIMEOUT_S``, e.g. a crashed driver) are broken ATOMICALLY:
+    the breaker renames the stale lock to a unique tombstone first —
+    os.rename succeeds for exactly one racer, so two blocked writers
+    that both observe staleness cannot each unlink the other's freshly
+    re-created lock and both enter the critical section."""
     import time as _t
 
     path = os.path.join(table_dir, "_commit.lock")
@@ -113,10 +158,14 @@ def _acquire_commit_lock(table_dir: str, timeout: float):
             try:
                 age = _t.time() - os.path.getmtime(path)
                 if age > _LOCK_TIMEOUT_S:
-                    os.unlink(path)  # stale: crashed writer
+                    # claim-by-rename: only ONE racer wins the claim;
+                    # losers see FileNotFoundError and just retry
+                    tomb = f"{path}.stale-{os.getpid()}-{_t.time_ns()}"
+                    os.rename(path, tomb)
+                    os.unlink(tomb)
                     continue
             except OSError:
-                continue  # lock vanished — retry
+                continue  # lock vanished / lost the claim race — retry
             if _t.monotonic() >= deadline:
                 raise CommitConflict(
                     f"commit lock {path} held by another writer"
@@ -260,22 +309,61 @@ def load(table_dir: str, snapshot_id: int | None = None) -> dict | None:
     return listing
 
 
-def expire_snapshots(table_dir: str, keep: int = 2) -> dict:
+def _snapshot_ids_on_disk(mdir: str) -> set[int]:
+    """Every snapshot id present in the manifest dir: snap-<n>.json
+    (0.2 format) AND pre-0.2 single-file manifest-<n>.json snapshots
+    (exactly one dash — shard files are manifest-<n>-<shard>.json).
+    Missing the pre-0.2 ids would make ``retained`` empty on a legacy
+    table and expire would delete EVERY chunk of a live table."""
+    import re
+
+    ids: set[int] = set()
+    for fn in os.listdir(mdir):
+        if fn.startswith("snap-") and fn.endswith(".json"):
+            try:
+                ids.add(int(fn[len("snap-"):-len(".json")]))
+            except ValueError:
+                pass
+        else:
+            m = re.fullmatch(r"manifest-(\d+)\.json", fn)
+            if m:
+                ids.add(int(m.group(1)))
+    return ids
+
+
+def expire_snapshots(table_dir: str, keep: int = 2,
+                     lock_timeout: float = 30.0) -> dict:
     """Iceberg expire_snapshots parity: retain the latest ``keep``
     snapshots, delete older snapshot listings, manifest shards
     referenced only by them, and chunk files no retained snapshot
     references. Frees the space compaction/delete/upsert superseded
-    while keeping recent time travel intact."""
+    while keeping recent time travel intact.
+
+    Runs under the table's commit lock (a concurrent commit racing the
+    unlink loop could otherwise reference freshly deleted files), and
+    never deletes chunk files newer than the current snapshot — those
+    belong to an in-flight encode job that has not committed yet
+    (resume checkpoint files)."""
+    lock = _acquire_commit_lock(table_dir, lock_timeout)
+    try:
+        return _expire_locked(table_dir, keep)
+    finally:
+        try:
+            os.unlink(lock)
+        except OSError:
+            pass
+
+
+def _expire_locked(table_dir: str, keep: int) -> dict:
     current = load(table_dir)
     if current is None:
         return {"expired_snapshots": 0, "deleted_chunks": 0}
     mdir = os.path.join(table_dir, "_manifests")
-    snaps = sorted(
-        int(fn[len("snap-"):-len(".json")])
-        for fn in os.listdir(mdir)
-        if fn.startswith("snap-") and fn.endswith(".json")
+    snaps = sorted(_snapshot_ids_on_disk(mdir))
+    retained = sorted(
+        {s for s in snaps if s > current["snapshot_id"] - keep}
+        | {current["snapshot_id"]}  # the live snapshot is NEVER expired
     )
-    retained = [s for s in snaps if s > current["snapshot_id"] - keep]
     expired = [s for s in snaps if s not in retained]
     keep_shards: set[str] = set()
     keep_files: set[str] = set()
@@ -287,16 +375,35 @@ def expire_snapshots(table_dir: str, keep: int = 2) -> dict:
             keep_shards.add(os.path.basename(listing["manifest"]))
         for e in listing["entries"]:
             keep_files.add(os.path.basename(e["file"]))
+    # in-flight protection: chunk files written after the current
+    # snapshot's commit belong to an uncommitted job (its commit is
+    # queued behind our lock) — never GC them
+    try:
+        current_commit_mtime = os.path.getmtime(
+            os.path.join(table_dir, "_manifest_list.json")
+        )
+    except OSError:
+        current_commit_mtime = float("inf")
     deleted_chunks = 0
     cdir = os.path.join(table_dir, "chunks")
     if os.path.isdir(cdir):
         for fn in os.listdir(cdir):
-            if fn.endswith(".parquet") and fn not in keep_files:
-                os.unlink(os.path.join(cdir, fn))
+            if not fn.endswith(".parquet") or fn in keep_files:
+                continue
+            fpath = os.path.join(cdir, fn)
+            try:
+                if os.path.getmtime(fpath) >= current_commit_mtime:
+                    continue  # in-flight, uncommitted
+                os.unlink(fpath)
                 deleted_chunks += 1
+            except OSError:
+                pass
     for fn in os.listdir(mdir):
         if fn.startswith("snap-"):
-            sid = int(fn[len("snap-"):-len(".json")])
+            try:
+                sid = int(fn[len("snap-"):-len(".json")])
+            except ValueError:
+                continue
             if sid in expired:
                 os.unlink(os.path.join(mdir, fn))
         elif fn.startswith("manifest-") and fn not in keep_shards:

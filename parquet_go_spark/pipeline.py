@@ -617,8 +617,12 @@ def lang_id(spark, sf_dir):
 
 
 def quality_score(spark, sf_dir):
-    """Cheap quality heuristics: all integer/ratio formulas are
-    replace-trick exact so the oracle matches bit-identically."""
+    """Cheap quality heuristics + token counting + content
+    fingerprint in ONE scan (all per-document text metrics are
+    column expressions over the same row — splitting them into three
+    queries would re-scan the corpus three times at 100 TB). All
+    integer/ratio formulas are replace-trick exact so the oracle
+    matches bit-identically; fp is md5 (portable across engines)."""
     docs = _documents(spark, sf_dir)
     t = F.col("text")
     n_chars = F.length(t)
@@ -632,6 +636,10 @@ def quality_score(spark, sf_dir):
         stop_hits.alias("stop_hits"),
         (n_chars.cast("double") / F.greatest(n_words, F.lit(1)).cast("double"))
         .alias("chars_per_word"),
+        # token_count metrics (whitespace + BPE-ish chars/4 estimate)
+        F.ceil(n_chars / F.lit(4.0)).cast("long").alias("approx_bpe_tokens"),
+        # doc_fingerprint
+        F.md5(t.cast("binary")).alias("fp"),
     )
 
 

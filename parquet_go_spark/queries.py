@@ -111,13 +111,6 @@ def q_for_bitpack(spark, sf_dir):
     )
 
 
-def q_delta_roundtrip(spark, sf_dir):
-    return codec_roundtrip(
-        spark, os.path.join(sf_dir, "events.parquet"),
-        ["event_id", "ts"], ("delta", "none"),
-    )
-
-
 def q_fsst_encode(spark, sf_dir):
     return codec_roundtrip(
         spark, os.path.join(sf_dir, "documents.parquet"),
@@ -420,20 +413,24 @@ def q_rle_runs(spark, sf_dir):
 
 def q_delta_encode(spark, sf_dir):
     """Per-user timestamp deltas in µs (DELTA_BINARY_PACKED semantics,
-    parquet.thrift:601-604) via a vectorized pandas kernel."""
-    df = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).select(
-        "user_id", "event_id", "ts"
+    parquet.thrift:601-604) computed over the DECODED output of the
+    delta codec — one query covers both the codec round-trip
+    (bit-identity of event_id/ts through encode→decode) and the delta
+    semantics. The deltas themselves are a pure JVM window (lag over
+    the user_id hash partition) — no per-group Python: at corpus scale
+    (10⁸ users, tiny groups) applyInPandas' per-group invocation
+    overhead dominates, a Window does the same work inside
+    whole-stage codegen with ONE exchange."""
+    decoded = codec_roundtrip(
+        spark, os.path.join(sf_dir, "events.parquet"),
+        ["user_id", "event_id", "ts"],
+        {"ts": ("delta", "none"), "event_id": ("delta", "none")},
     )
-
-    def diffs(pdf):
-        pdf = pdf.sort_values(["ts", "event_id"])
-        us = pdf["ts"].astype("int64") // 1000  # ns → µs
-        out = pdf[["user_id", "event_id"]].iloc[1:].copy()
-        out["delta_us"] = us.diff().iloc[1:].astype("int64")
-        return out
-
-    return df.groupBy("user_id").applyInPandas(
-        diffs, "user_id long, event_id long, delta_us long"
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    return decoded.select(
+        "user_id", "event_id", "ts",
+        (us - F.lag(us).over(w)).alias("delta_us"),
     )
 
 
@@ -582,14 +579,6 @@ def q_encode_chunks(spark, sf_dir):
             a[1] += m["nulls"]
     rows = [(c, a[0], a[1]) for c, a in sorted(agg.items())]
     return spark.createDataFrame(rows, "col_name string, n_values long, null_count long")
-
-
-def q_manifest_write(spark, sf_dir):
-    listing = manifest.load(encoded_lineitem_dir(spark, sf_dir))
-    return spark.createDataFrame(
-        [(listing["snapshot_id"], listing["n_chunks"], listing["n_rows"])],
-        "snapshot_id long, n_chunks long, n_rows long",
-    )
 
 
 def q_decode_chunks(spark, sf_dir):
@@ -847,9 +836,18 @@ def q_stream_sessionize(spark, sf_dir):
     t = pq.read_table(os.path.join(sf_dir, "events.parquet"))
     t = t.take(pc.sort_indices(t, sort_keys=[("ts", "ascending"),
                                              ("event_id", "ascending")]))
+    import time as _time
+
     step = (t.num_rows + 2) // 3  # time-ordered micro-batches
+    now = _time.time()
     for i in range(0, t.num_rows, step):
-        pq.write_table(t.slice(i, step), os.path.join(src, f"f{i // step}.parquet"))
+        f = os.path.join(src, f"f{i // step}.parquet")
+        pq.write_table(t.slice(i, step), f)
+        # the file source orders batches by mtime; stateful
+        # sessionization needs micro-batches in event-time order, so
+        # force strictly increasing mtimes (sub-tick writes would
+        # otherwise arrive in arbitrary order under host load)
+        os.utime(f, (now + i // step, now + i // step))
     schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
     stream = (
         spark.readStream.schema(schema)
@@ -883,14 +881,20 @@ def q_bloom_point_lookup(spark, sf_dir):
 
 
 def q_resume_from_manifest(spark, sf_dir):
-    """Second write into the same dir must reuse every committed chunk."""
+    """Second write into the same dir must reuse every committed chunk;
+    the returned row also checks the manifest commit metadata
+    (snapshot id increments, row totals accumulate in the listing) —
+    the M3/M4 manifest-write parity check folded into the resume
+    query."""
     df = _lineitem(spark, sf_dir)
     out = os.path.join(tempfile.mkdtemp(prefix="pgs_resume_"), "lineitem")
     table.write_table(df, out, key_cols=LINEITEM_KEY, num_chunks=8)
     info2 = table.write_table(df, out, key_cols=LINEITEM_KEY, num_chunks=8)
+    listing = manifest.load(out)
     return spark.createDataFrame(
-        [(info2["n_chunks"], info2["reused_chunks"])],
-        "n_chunks long, reused_chunks long",
+        [(listing["snapshot_id"], listing["n_chunks"], listing["n_rows"],
+          info2["reused_chunks"])],
+        "snapshot_id long, n_chunks long, n_rows long, reused_chunks long",
     )
 
 

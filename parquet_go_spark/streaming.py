@@ -52,8 +52,12 @@ def sessionize_stream(
 
         last_us, sess = state.get if state.exists else (None, 0)
         gap_us = gap_minutes * 60 * 1_000_000
-        out = []
-        for pdf in pdfs:
+        # a group's rows can arrive SPLIT ACROSS pandas chunks that
+        # interleave in event time — materialize the whole micro-batch
+        # for this group (already bounded by batch size) and sort ONCE,
+        # else gaps are computed against the wrong predecessor
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        if len(pdf):
             pdf = pdf.sort_values(["ts", "event_id"])
             us = pdf["ts"].astype("int64").to_numpy() // 1000  # ns → µs
             prev = np.empty(len(us), dtype=np.int64)
@@ -62,19 +66,15 @@ def sessionize_stream(
             # min-sentinel makes the first-ever event open session 1
             new = (us - prev > gap_us) | (prev == np.iinfo(np.int64).min)
             sess_idx = sess + np.cumsum(new.astype(np.int64))
-            out.append(
-                pd.DataFrame(
-                    {
-                        "user_id": pdf["user_id"].to_numpy(),
-                        "event_id": pdf["event_id"].to_numpy(),
-                        "session_idx": sess_idx,
-                    }
-                )
+            last_us, sess = int(us[-1]), int(sess_idx[-1])
+            yield pd.DataFrame(
+                {
+                    "user_id": pdf["user_id"].to_numpy(),
+                    "event_id": pdf["event_id"].to_numpy(),
+                    "session_idx": sess_idx,
+                }
             )
-            if len(us):
-                last_us, sess = int(us[-1]), int(sess_idx[-1])
         state.update((last_us if last_us is not None else 0, sess))
-        yield from out
 
     sessions = stream_df.groupBy("user_id").applyInPandasWithState(
         assign,
@@ -98,16 +98,21 @@ def windowed_stats_stream(
     window: str = "1 hour",
     watermark: str = "2 hours",
     query_name: str = "windowed_stats",
+    output_mode: str = "complete",
 ):
     """Event-time windowed aggregation over a stream (SURVEY §2.8
     streaming row): tumbling windows on the event timestamp with a
     watermark bounding state for late data. Exact integer aggregates
     (count + sum of event ids) so the result is oracle-comparable.
 
-    Complete output mode to a memory sink for the harness; in
-    production swap the sink and use append mode — the watermark then
-    finalizes each window ``watermark`` after its close, which is what
-    bounds the state store at the 10¹²-event frame."""
+    ``output_mode='complete'`` re-emits all windows each trigger (the
+    harness default — every window is visible even while open).
+    ``output_mode='append'`` is the production/state-bounded path: a
+    window row is emitted exactly once, when the watermark passes its
+    close — finalized windows leave the state store, which is what
+    bounds state at the 10¹²-event frame; windows still within
+    ``watermark`` of the stream's max event time remain open (not yet
+    emitted)."""
     from pyspark.sql import functions as F
 
     agg = (
@@ -121,7 +126,7 @@ def windowed_stats_stream(
     return (
         agg.writeStream.format("memory")
         .queryName(query_name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )

@@ -199,6 +199,7 @@ def read_table(
     listing = manifest.load(table_dir, snapshot_id=snapshot_id)
     if listing is None:
         raise FileNotFoundError(f"no committed snapshot in {table_dir}")
+    manifest.check_chunk_layout(listing["entries"])
     schema = StructType.fromJson(json.loads(listing["schema_ddl"]))
     by_name = {f.name: f for f in schema.fields}
     all_cols = list(by_name)
@@ -299,6 +300,7 @@ def compact(
     if listing is None:
         raise FileNotFoundError(f"no committed snapshot in {table_dir}")
     entries = listing["entries"]
+    manifest.check_chunk_layout(entries)
     small = [e for e in entries if e["n_rows"] < min_rows]
     if len(small) < 2:
         return {"compacted_chunks": 0, "n_chunks": len(entries)}
@@ -414,6 +416,7 @@ def _decode_entries_df(spark, table_dir, entries, schema) -> DataFrame:
     """Decode a specific entry subset (internal: delete/upsert/compact)."""
     import os
 
+    manifest.check_chunk_layout(entries)
     files = [os.path.join(table_dir, e["file"]) for e in entries]
     par = min(len(files), spark.sparkContext.defaultParallelism)
     files_df = spark.createDataFrame(

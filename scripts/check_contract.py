@@ -40,6 +40,28 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
 
 
+def dtype_sig(s: pd.Series) -> str:
+    """Pandas dtype → driver-comparable signature. The driver hashes
+    toPandas frames on both sides, so its schema compare sees pandas
+    dtypes: Spark timestamps land tz-NAIVE (both TIMESTAMP and NTZ),
+    while DuckDB's TIMESTAMPTZ lands tz-AWARE — that asymmetry is the
+    r2 stream_window_agg schema failure the old tz-normalizing compare
+    hid locally. ns-vs-us resolution is a pandas artifact, ignored."""
+    if pd.api.types.is_datetime64_any_dtype(s):
+        tz = getattr(s.dt, "tz", None)
+        return "datetime+tz" if tz is not None else "datetime"
+    k = s.dtype.kind
+    if k in "iu":
+        return f"int{s.dtype.itemsize * 8}"
+    if k == "f":
+        return f"float{s.dtype.itemsize * 8}"
+    return str(s.dtype)
+
+
+def schema_sig(df: pd.DataFrame) -> dict[str, str]:
+    return {c: dtype_sig(df[c]) for c in df.columns}
+
+
 def main() -> int:
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -82,6 +104,14 @@ def main() -> int:
             odf = con.execute(osql[name]).df()
         except Exception as ex:
             print(f"FAIL {name}: oracle raised {type(ex).__name__}: {ex}")
+            failures.append(name)
+            continue
+        ssig, osig = schema_sig(sdf), schema_sig(odf)
+        if dict(sorted(ssig.items())) != dict(sorted(osig.items())):
+            diff = {c: (ssig.get(c), osig.get(c))
+                    for c in set(ssig) | set(osig)
+                    if ssig.get(c) != osig.get(c)}
+            print(f"FAIL {name}: schema mismatch {diff}")
             failures.append(name)
             continue
         a, b = norm(sdf), norm(odf)

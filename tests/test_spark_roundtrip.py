@@ -696,3 +696,96 @@ def test_token_bloom_text_search(spark, transcripts, tmp_path):
     assert rows == {("conv-00000003", 0), ("conv-00000011", 0)}
     # absent token → empty, zero decodes
     assert table.search_text(spark, out, "text", "xylophone").count() == 0
+
+
+def _fake_pre02_table(root, n_chunks=3):
+    """Materialize a table exactly as the 0.1 engine committed it: one
+    flat manifest-<n>.json, a _manifest_list.json with a `manifest` key
+    (no manifest_shards, no snap files), and chunk files on disk."""
+    import time
+
+    tdir = str(root)
+    cdir = os.path.join(tdir, "chunks")
+    mdir = os.path.join(tdir, "_manifests")
+    os.makedirs(cdir)
+    os.makedirs(mdir)
+    entries = []
+    for i in range(n_chunks):
+        cid = f"{i:06d}"
+        fn = f"chunk-{cid}.parquet"
+        with open(os.path.join(cdir, fn), "wb") as f:
+            f.write(b"PAR1fake")
+        entries.append({
+            "chunk_id": cid, "file": f"chunks/{fn}", "n_rows": 10,
+            "raw_bytes": 100, "enc_bytes": 50,
+            "engine": "parquet_go_spark-0.1.0",
+            "columns": {"conv_id": {"n": 10, "nulls": 0, "crc32": 0}},
+        })
+    with open(os.path.join(mdir, "manifest-0.json"), "w") as f:
+        json.dump({"entries": entries}, f)
+    listing = {
+        "snapshot_id": 0, "engine": "parquet_go_spark-0.1.0",
+        "schema_ddl": "{}", "manifest": "_manifests/manifest-0.json",
+        "n_chunks": n_chunks, "n_rows": 10 * n_chunks,
+        "raw_bytes": 100 * n_chunks, "enc_bytes": 50 * n_chunks,
+        "extra": {}, "parent_snapshot_id": None,
+    }
+    with open(os.path.join(tdir, "_manifest_list.json"), "w") as f:
+        json.dump(listing, f)
+    # commit mtimes in the past so nothing looks "in-flight"
+    old = time.time() - 3600
+    for p in glob.glob(os.path.join(tdir, "**"), recursive=True):
+        os.utime(p, (old, old))
+    return tdir
+
+
+def test_expire_never_destroys_pre02_table(tmp_path):
+    """ADVICE r2 (high): on a table whose CURRENT snapshot predates the
+    0.2 shard format (no snap-*.json anywhere), expire_snapshots used
+    to compute an empty retained set and delete every chunk + manifest
+    of a live table. It must retain the current snapshot and delete
+    nothing."""
+    tdir = _fake_pre02_table(tmp_path / "legacy")
+    before_chunks = sorted(os.listdir(os.path.join(tdir, "chunks")))
+    res = manifest.expire_snapshots(tdir, keep=2)
+    assert res["deleted_chunks"] == 0
+    assert 0 in res["retained_snapshots"]
+    assert sorted(os.listdir(os.path.join(tdir, "chunks"))) == before_chunks
+    assert os.path.exists(
+        os.path.join(tdir, "_manifests", "manifest-0.json")
+    )
+    # the listing is still loadable afterwards
+    assert manifest.load(tdir)["n_chunks"] == 3
+
+
+def test_pre02_chunk_layout_is_version_gated(spark, tmp_path):
+    """Reading (or compacting/deleting from) a table with 0.1-layout
+    chunk files must fail with a clear migration error instead of an
+    opaque parquet column error mid-scan."""
+    tdir = _fake_pre02_table(tmp_path / "legacy")
+    with pytest.raises(manifest.IncompatibleTableError, match="0.2"):
+        table.read_table(spark, tdir)
+    with pytest.raises(manifest.IncompatibleTableError):
+        table.compact(spark, tdir, min_rows=1 << 20)
+
+
+def test_expire_protects_inflight_uncommitted_chunks(spark, tmp_path):
+    """Chunk files newer than the current snapshot commit belong to an
+    in-flight (uncommitted) encode job — expire must not GC them."""
+    df = make_transcripts_df(spark, n_conv=20, seed=7)
+    out = str(tmp_path / "tbl")
+    table.write_table(df, out, num_chunks=2)
+    # simulate an in-flight writer: a fresh chunk file not in any snapshot
+    inflight = os.path.join(out, "chunks", "chunk-zz9999.parquet")
+    with open(inflight, "wb") as f:
+        f.write(b"PAR1fake")
+    res = manifest.expire_snapshots(out, keep=1)
+    assert os.path.exists(inflight), res
+    # but an OLD orphan (older than the commit) is collectable
+    orphan = os.path.join(out, "chunks", "chunk-aa0000.parquet")
+    with open(orphan, "wb") as f:
+        f.write(b"PAR1fake")
+    os.utime(orphan, (1, 1))
+    res2 = manifest.expire_snapshots(out, keep=1)
+    assert not os.path.exists(orphan), res2
+    assert table.read_table(spark, out).count() == df.count()
