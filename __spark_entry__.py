@@ -76,6 +76,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "uint_roundtrip": Q.q_uint_roundtrip,
         "json_source": Q.q_json_source,
         "nested_prune": Q.q_nested_prune,
+        "nested_list_prune": Q.q_nested_list_prune,
         "decimal_roundtrip": Q.q_decimal_roundtrip,
         "selective_revenue": Q.q_selective_revenue,
         # codec semantics / stats / selection
@@ -229,6 +230,19 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, user_id AS meta_u, "
             "CASE WHEN event_id % 5 <> 0 THEN value END AS meta_v "
             "FROM events",
+        "nested_list_prune": """
+            WITH t AS (
+                SELECT event_id,
+                       CASE WHEN event_id % 7 = 0 THEN NULL
+                            ELSE ([{'name': event_type, 'v': value},
+                                   {'name': upper(event_type),
+                                    'v': value*2}]
+                                 )[1:(event_id % 3)::INT]
+                       END AS tc
+                FROM events)
+            SELECT event_id, CAST(len(tc) AS BIGINT) AS n_calls,
+                   tc[1].name AS first_name
+            FROM t""",
         "decimal_roundtrip":
             "SELECT l_orderkey, l_linenumber, "
             "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) "

@@ -139,7 +139,32 @@ def make_decode_fn(columns: list[str], verify_crc: bool = True,
             n_valid, valid = n, None
         (tlen,) = _s.unpack_from("<I", shell, pos)
         typ = _type_from_bytes(memoryview(shell)[pos + 4 : pos + 4 + tlen])
-        return n, n_valid, valid, typ
+        return n, n_valid, valid, typ, pos + 4 + tlen
+
+    def _parse_list_shell(shell):
+        """v2 shell (list<struct> shred): list validity + arrow type +
+        PFOR-coded offsets over ALL n lists + element validity."""
+        import struct as _s
+
+        from .kernels.rle import rle_decode
+
+        n, n_valid, valid, typ, pos = _parse_shell(shell)
+        (olen,) = _s.unpack_from("<I", shell, pos)
+        pos += 4
+        offs = decode_array(bytes(memoryview(shell)[pos : pos + olen])) \
+            .to_numpy(zero_copy_only=False)
+        pos += olen
+        (has_enulls,) = _s.unpack_from("<B", shell, pos)
+        pos += 1
+        if has_enulls:
+            _, emask_len = _s.unpack_from("<QI", shell, pos)
+            pos += 12
+            evalid = rle_decode(
+                memoryview(shell)[pos : pos + emask_len]
+            ).astype(bool)
+        else:
+            evalid = None
+        return n, valid, typ, offs, evalid
 
     def _expand_nulls(arr, n, valid):
         if valid is None:
@@ -188,7 +213,7 @@ def make_decode_fn(columns: list[str], verify_crc: bool = True,
                 for c in present:
                     base, _, sub = c.partition(".")
                     m = ecols[base]
-                    if m.get("codec") == "struct_shred":
+                    if m.get("codec") in ("struct_shred", "list_shred"):
                         file_cols.append(BLOB_COL_PREFIX + base)  # shell
                         kids = [sub] if sub else list(m["children"])
                         file_cols += [
@@ -228,7 +253,7 @@ def make_decode_fn(columns: list[str], verify_crc: bool = True,
                             raise IOError(
                                 f"CRC mismatch for {base} shell in {fpath}"
                             )
-                        n, n_valid, valid, typ = _parse_shell(shell)
+                        n, n_valid, valid, typ, _ = _parse_shell(shell)
                         if sub:  # flat child projection
                             return _expand_nulls(_child(base, sub), n, valid)
                         kids = list(m["children"])
@@ -241,6 +266,50 @@ def make_decode_fn(columns: list[str], verify_crc: bool = True,
                             children, fields=fields
                         )
                         return _expand_nulls(st_arr, n, valid).cast(typ)
+                    if m.get("codec") == "list_shred":
+                        import numpy as np
+
+                        shell = t.column(BLOB_COL_PREFIX + base)[0].as_py()
+                        if verify_crc and zlib.crc32(shell) != m["crc32"]:
+                            raise IOError(
+                                f"CRC mismatch for {base} shell in {fpath}"
+                            )
+                        n, valid, typ, offs, evalid = _parse_list_shell(shell)
+                        n_elems = int(offs[-1]) if len(offs) else 0
+
+                        def _as_list(values):
+                            omask = (np.concatenate([~valid, [False]])
+                                     if valid is not None else None)
+                            off_pa = pa.array(offs, type=pa.int64(),
+                                              mask=omask)
+                            return pa.LargeListArray.from_arrays(
+                                off_pa, values
+                            )
+
+                        if sub:  # flat child projection: array<childT>
+                            child = _expand_nulls(
+                                _child(base, sub), n_elems, evalid
+                            )
+                            la = _as_list(child)
+                            want = column_types.get(name)
+                            return (la.cast(want)
+                                    if want is not None and la.type != want
+                                    else la)
+                        st = typ.value_type
+                        kids = list(m["children"])
+                        fields = [st.field(st.get_field_index(k))
+                                  for k in kids]
+                        children = [_child(base, k) for k in kids]
+                        if n_elems == 0 or (evalid is not None
+                                            and not evalid.any()):
+                            st_arr = pa.nulls(n_elems, pa.struct(fields))
+                        else:
+                            st_arr = _expand_nulls(
+                                pa.StructArray.from_arrays(children,
+                                                           fields=fields),
+                                n_elems, evalid,
+                            )
+                        return _as_list(st_arr).cast(typ)
                     if sub:  # non-shredded struct: decode + prune
                         full = _decode_blob(base)
                         return pc.struct_field(full, sub)

@@ -339,8 +339,14 @@ def _encode_or_reuse(chunk: pa.Table, chunk_id: str, table_dir: str,
     blobs, columns_meta = {}, {}
     for name in chunk.column_names:
         arr = chunk.column(name).combine_chunks()
-        if pa.types.is_struct(arr.type) and name not in overrides:
-            parts, meta = _encode_struct_shredded(arr)
+        shredder = None
+        if pa.types.is_struct(arr.type):
+            shredder = _encode_struct_shredded
+        elif ((pa.types.is_list(arr.type) or pa.types.is_large_list(arr.type))
+                and pa.types.is_struct(arr.type.value_type)):
+            shredder = _encode_list_struct_shredded
+        if shredder is not None and name not in overrides:
+            parts, meta = shredder(arr)
             columns_meta[name] = meta
             for suffix, blob in parts.items():
                 key = name if suffix == "" else f"{name}.{suffix}"

@@ -288,6 +288,40 @@ def q_nested_prune(spark, sf_dir):
     )
 
 
+def q_nested_list_prune(spark, sf_dir):
+    """list<struct> nested projection (the tool-call transcript shape):
+    the column is shredded through the list wrapper into per-child
+    blobs over the flattened elements; reading ``tool_calls.name``
+    decodes only that child + the offsets shell. Null lists
+    (event_id % 7 == 0) and empty lists (event_id % 3 == 0) must
+    survive the round-trip distinctly."""
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    df = ev.select(
+        "event_id",
+        F.when(F.col("event_id") % 7 == 0, F.lit(None)).otherwise(
+            F.slice(
+                F.array(
+                    F.struct(F.col("event_type").alias("name"),
+                             F.col("value").alias("v")),
+                    F.struct(F.upper("event_type").alias("name"),
+                             (F.col("value") * 2).alias("v")),
+                ),
+                F.lit(1), (F.col("event_id") % 3).cast("int"),
+            )
+        ).alias("tool_calls"),
+    )
+    out = os.path.join(tempfile.mkdtemp(prefix="pgs_lshred_"), "events")
+    table.write_table(df, out, key_cols=("event_id",), num_chunks=4)
+    flat = table.read_table(spark, out,
+                            columns=["event_id", "tool_calls.name"])
+    names = F.col("`tool_calls.name`")
+    return flat.select(
+        "event_id",
+        F.size(names).cast("long").alias("n_calls"),
+        F.try_element_at(names, F.lit(1)).alias("first_name"),
+    )
+
+
 def q_uint_roundtrip(spark, sf_dir):
     """Unsigned + half-float surface (parquet.thrift:471-497 uint
     logical types; FLOAT16): Spark has no unsigned types, so the cast

@@ -217,13 +217,32 @@ def read_table(
             )
         f = by_name[base]
         if sub:
-            if not isinstance(f.dataType, StructType):
-                raise KeyError(f"{base!r} is not a struct; cannot "
-                               f"project {c!r}")
-            child = {cf.name: cf for cf in f.dataType.fields}.get(sub)
-            if child is None:
-                raise KeyError(f"struct {base!r} has no field {sub!r}")
-            fields.append(StructField(c, child.dataType, nullable=True))
+            from pyspark.sql.types import ArrayType
+
+            dt = f.dataType
+            if (isinstance(dt, ArrayType)
+                    and isinstance(dt.elementType, StructType)):
+                # list<struct> child projection: one array<childT> per
+                # row (the shredded layout reads only that child's
+                # bytes — Dremel-style nested projection through the
+                # list wrapper)
+                child = {cf.name: cf
+                         for cf in dt.elementType.fields}.get(sub)
+                if child is None:
+                    raise KeyError(
+                        f"struct {base!r} elements have no field {sub!r}"
+                    )
+                fields.append(StructField(
+                    c, ArrayType(child.dataType, True), nullable=True
+                ))
+            elif isinstance(dt, StructType):
+                child = {cf.name: cf for cf in dt.fields}.get(sub)
+                if child is None:
+                    raise KeyError(f"struct {base!r} has no field {sub!r}")
+                fields.append(StructField(c, child.dataType, nullable=True))
+            else:
+                raise KeyError(f"{base!r} is not a struct or "
+                               f"array<struct>; cannot project {c!r}")
         else:
             fields.append(
                 StructField(f.name, f.dataType, nullable=True,

@@ -789,3 +789,60 @@ def test_expire_protects_inflight_uncommitted_chunks(spark, tmp_path):
     res2 = manifest.expire_snapshots(out, keep=1)
     assert not os.path.exists(orphan), res2
     assert table.read_table(spark, out).count() == df.count()
+
+
+def test_list_struct_shredding_projects_child_bytes(spark, transcripts,
+                                                    tmp_path):
+    """list<struct> columns (the tool-call transcript shape) are
+    shredded through the list wrapper: per-child blobs over the
+    flattened elements, so projecting tool_calls.name reads only that
+    child's bytes; full-column and child reads both round-trip,
+    including null lists and null elements."""
+    import pyarrow.parquet as pq
+    import pyspark.sql.functions as F
+
+    df = transcripts.withColumn(
+        "tool_calls",
+        F.when(F.col("turn_idx") % 7 == 0, F.lit(None)).otherwise(
+            F.slice(
+                F.array(
+                    F.struct(F.col("tool").alias("name"),
+                             F.col("text").alias("args")),
+                    F.struct(F.upper("tool").alias("name"),
+                             F.substring("text", 1, 8).alias("args")),
+                ),
+                F.lit(1), (F.col("turn_idx") % 3).cast("int"),
+            )
+        ),
+    ).drop("text")
+    out = str(tmp_path / "tbl")
+    table.write_table(df, out, num_chunks=3)
+    listing = manifest.load(out)
+    meta = listing["entries"][0]["columns"]["tool_calls"]
+    assert meta["codec"] == "list_shred"
+    assert set(meta["children"]) == {"name", "args"}
+    # on-disk layout: the big child (args=text) dominates; shell+name
+    # are a small fraction — projecting name skips the args bytes
+    f = glob.glob(os.path.join(out, "chunks", "*.parquet"))[0]
+    rg = pq.ParquetFile(f).metadata.row_group(0)
+    sizes = {rg.column(i).path_in_schema: rg.column(i).total_compressed_size
+             for i in range(rg.num_columns)}
+    assert "b_tool_calls.args" in sizes and "b_tool_calls.name" in sizes
+    assert (sizes["b_tool_calls.name"] + sizes["b_tool_calls"]
+            < sizes["b_tool_calls.args"] / 2)
+    # full round-trip (Spark set-ops accept array<struct>)
+    back = table.read_table(spark, out)
+    res = table.verify_roundtrip(df, back, ("conv_id", "turn_idx"))
+    assert res["identical"], res
+    # flat child projection: array<string> per row
+    flat = table.read_table(spark, out,
+                            columns=["conv_id", "turn_idx",
+                                     "tool_calls.name"])
+    want = df.select("conv_id", "turn_idx",
+                     F.col("tool_calls.name").alias("tool_calls.name"))
+    assert flat.exceptAll(want).count() == 0
+    assert want.exceptAll(flat).count() == 0
+    # null lists survive (turn_idx % 7 == 0) and empty lists stay []
+    got_nulls = flat.filter(F.col("`tool_calls.name`").isNull()).count()
+    assert got_nulls == df.filter(F.col("tool_calls").isNull()).count()
+    assert got_nulls > 0
