@@ -101,10 +101,10 @@ def make_decode_fn(columns: list[str], verify_crc: bool = True,
     fetch_cols = list(dict.fromkeys(filter_cols + columns))
     column_types = column_types or {}
 
-    def _read_entry(fpath: str) -> dict:
+    def _read_entry(pf) -> dict:
         import json
 
-        meta = pq.read_schema(fpath).metadata or {}
+        meta = pf.schema_arrow.metadata or {}
         raw = meta.get(b"pgs_manifest_entry")
         return json.loads(raw) if raw else {}
 
@@ -189,8 +189,13 @@ def make_decode_fn(columns: list[str], verify_crc: bool = True,
                            if c in names]
             for row in range(b.num_rows):
                 fpath = b.column("file")[row].as_py()
-                # footer-only read: embedded entry + available blob cols
-                entry = _read_entry(fpath)
+                # ONE file handle per chunk: the embedded entry comes
+                # from the footer already parsed by ParquetFile, and
+                # the blob column read below reuses the same handle
+                # (the old read_schema + read_table pair opened and
+                # footer-parsed every file twice)
+                pf = pq.ParquetFile(fpath)
+                entry = _read_entry(pf)
                 if expect_cols:
                     _verify_entry(
                         entry, fpath,
@@ -222,8 +227,7 @@ def make_decode_fn(columns: list[str], verify_crc: bool = True,
                     else:
                         file_cols.append(BLOB_COL_PREFIX + base)
                 t = (
-                    pq.read_table(fpath,
-                                  columns=list(dict.fromkeys(file_cols)))
+                    pf.read(columns=list(dict.fromkeys(file_cols)))
                     if file_cols
                     else None
                 )

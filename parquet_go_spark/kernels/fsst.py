@@ -461,11 +461,31 @@ def fsst_decode(buf: bytes | memoryview) -> tuple[np.ndarray, np.ndarray]:
     if out_offs[-1] != raw_len:
         raise ValueError("fsst decoded size mismatch")
 
-    # variable-length gather from a combined source (symbols ++ stream)
-    src = np.concatenate([sym_flat, enc])
-    starts = np.where(uesc, total_sym + upos + 1, sym_off[safe]).astype(np.int64)
-    intra = np.arange(int(out_offs[-1]), dtype=np.int64) - np.repeat(
-        out_offs[:-1], out_lens
-    )
-    out = src[np.repeat(starts, out_lens) + intra]
+    # byte-PLANE expansion: scatter byte k of every code's symbol into
+    # out[start+k] for k < symbol length. Same element count as the
+    # repeat-gather formulation but with NO raw_len-sized int64 temps
+    # (repeat×2 + arange cost ~24 B of memory traffic per output byte;
+    # this costs ~5 B) — ~3x faster and far kinder to the shared
+    # memory bus under 32-way task concurrency.
+    out = np.empty(raw_len, np.uint8)
+    starts = out_offs[:-1]
+    ne = ~uesc
+    if n_sym:
+        max_len = int(sym_len.max())
+        planes = np.zeros((max_len, n_sym), np.uint8)
+        for k in range(max_len):
+            has_k = sym_len > k
+            planes[k, has_k] = sym_flat[sym_off[:-1][has_k] + k]
+        code_ne, st_ne, len_ne = safe[ne], starts[ne], out_lens[ne]
+        for k in range(max_len):
+            m = len_ne > k
+            if not m.any():
+                break
+            if m.all():
+                out[st_ne + k] = planes[k][code_ne]
+            else:
+                code_ne, st_ne, len_ne = code_ne[m], st_ne[m], len_ne[m]
+                out[st_ne + k] = planes[k][code_ne]
+    if uesc.any():
+        out[starts[uesc]] = enc[upos[uesc] + 1]
     return offsets, out
