@@ -96,8 +96,12 @@ def _encode_decode(master: str, src: str, out: str) -> dict:
     try:
         df = spark.read.parquet(src)
         t0 = time.time()
+        # 32 chunks = one per core at the widest level; fewer, larger
+        # chunks than r2's 64 (closer to the 64-256 MB chunks a real
+        # 100 TB table uses) — halves per-task overhead and per-chunk
+        # FSST train cost without losing local[32] parallelism
         info = table.write_table(
-            df, out, key_cols=("conv_id", "turn_idx"), num_chunks=64
+            df, out, key_cols=("conv_id", "turn_idx"), num_chunks=32
         )
         t_enc = time.time() - t0
         t0 = time.time()

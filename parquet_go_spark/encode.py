@@ -397,23 +397,35 @@ def make_encode_fn(table_dir: str, key_cols: tuple[str, ...],
 
         tc = TaskContext.get()
         attempt = f"task{tc.taskAttemptId()}" if tc else "local"
+        import pyarrow.compute as pc
+
         blist = list(batches)
         if not blist:
             return
         tbl = pa.Table.from_batches(blist)
         if tbl.num_rows == 0:
             return
+        # sort HERE (pyarrow radix/merge sort) instead of a JVM
+        # sortWithinPartitions: the keys are unique, so the total order
+        # — and therefore every chunk's bytes and data_crc — is
+        # identical, at ~1/20th the cost of Spark's row sorter
+        sort_keys = [(k, "ascending") for k in key_cols]
         if "_ck" in tbl.column_names:
+            tbl = tbl.take(pc.sort_indices(
+                tbl, sort_keys=[("_ck", "ascending")] + sort_keys
+            )).combine_chunks()
             ck = tbl.column("_ck").to_numpy(zero_copy_only=False)
             data = tbl.drop_columns(["_ck"])
         else:
             # locality mode (write_table(shuffle=False)): the whole
             # input partition is one chunk, id = partition ordinal
+            tbl = tbl.take(pc.sort_indices(tbl, sort_keys=sort_keys)) \
+                .combine_chunks()
             pid = tc.partitionId() if tc else 0
             ck = np.full(tbl.num_rows, pid, dtype=np.int64)
             data = tbl
-        # partition may hold several chunk keys (hash collisions) — rows are
-        # sorted by _ck first, so each chunk is a contiguous slice.
+        # partition may hold several chunk keys (hash collisions) — rows
+        # are sorted by _ck first, so each chunk is a contiguous slice.
         bounds = np.flatnonzero(np.diff(ck)) + 1
         starts = np.concatenate([[0], bounds, [len(ck)]])
         for i in range(len(starts) - 1):

