@@ -436,7 +436,8 @@ def make_encode_fn(table_dir: str, key_cols: tuple[str, ...],
                 overrides, resume, bloom_cols, attempt, token_bloom_cols,
             )
             yield pa.RecordBatch.from_pydict(
-                {"entry_json": pa.array([json.dumps(entry)])}
+                {"chunk_id": pa.array([chunk_id]),
+                 "entry_json": pa.array([json.dumps(entry)])}
             )
 
     return encode_partition
@@ -476,7 +477,8 @@ def make_direct_encode_fn(table_dir: str, key_cols: tuple[str, ...],
                     resume, bloom_cols, attempt,
                 )
                 yield pa.RecordBatch.from_pydict(
-                    {"entry_json": pa.array([json.dumps(entry)])}
+                    {"chunk_id": pa.array([chunk_id]),
+                     "entry_json": pa.array([json.dumps(entry)])}
                 )
 
     return encode_files

@@ -33,8 +33,9 @@ import os
 import tempfile
 from typing import Any
 
-__all__ = ["commit", "load", "expire_snapshots", "list_chunk_files",
-           "stat_value", "check_chunk_layout", "ENGINE_VERSION",
+__all__ = ["commit", "commit_shards", "load", "load_refs",
+           "expire_snapshots", "list_chunk_files", "stat_value",
+           "check_chunk_layout", "ENGINE_VERSION",
            "IncompatibleTableError"]
 
 ENGINE_VERSION = "parquet_go_spark-0.2.0"
@@ -273,14 +274,13 @@ def _read_entries(table_dir: str, listing: dict) -> list[dict]:
         return json.load(f)["entries"]
 
 
-def load(table_dir: str, snapshot_id: int | None = None) -> dict | None:
-    """Load a snapshot (listing + chunk entries); None if uncommitted.
-
-    ``snapshot_id`` selects a historical snapshot (time travel — shard
-    files are immutable and retained per snapshot). Decode verifies
-    each chunk file's embedded entry against the snapshot's
-    (chunk_id/data_crc/enc_bytes), so a chunk rewritten or GC'd after
-    the snapshot fails loudly instead of decoding wrong data."""
+def load_refs(table_dir: str, snapshot_id: int | None = None) -> dict | None:
+    """Snapshot listing WITHOUT materializing chunk entries — shard
+    refs + totals only. This is the scale-safe entry point: at the
+    10¹²-turn frame (~4M chunks) the entries are GBs of JSON that
+    must stay in executor tasks (read_table's distributed pruning),
+    never on the driver. ``load`` keeps the eager-entry contract for
+    small tables and internal rewrite ops."""
     lpath = os.path.join(table_dir, "_manifest_list.json")
     if not os.path.exists(lpath):
         return None
@@ -303,10 +303,72 @@ def load(table_dir: str, snapshot_id: int | None = None) -> dict | None:
             raise FileNotFoundError(
                 f"snapshot {snapshot_id} not found in {table_dir}"
             )
+    return listing
+
+
+def load(table_dir: str, snapshot_id: int | None = None) -> dict | None:
+    """Load a snapshot (listing + chunk entries); None if uncommitted.
+
+    ``snapshot_id`` selects a historical snapshot (time travel — shard
+    files are immutable and retained per snapshot). Decode verifies
+    each chunk file's embedded entry against the snapshot's
+    (chunk_id/data_crc/enc_bytes), so a chunk rewritten or GC'd after
+    the snapshot fails loudly instead of decoding wrong data."""
+    listing = load_refs(table_dir, snapshot_id)
+    if listing is None:
+        return None
     listing["entries"] = _read_entries(table_dir, listing)
     listing["n_chunks"] = len(listing["entries"])
     listing["n_rows"] = sum(e["n_rows"] for e in listing["entries"])
     return listing
+
+
+def commit_shards(table_dir: str, shard_refs: list[dict],
+                  schema_ddl: str, extra: dict | None = None,
+                  lock_timeout: float = 30.0) -> int:
+    """Commit a snapshot from PRE-WRITTEN shard manifest files (the
+    distributed-commit path: executor tasks wrote one immutable
+    ``_manifests/`` file per shard and the driver holds only the
+    O(shards) summaries — per-chunk JSON never reaches the driver).
+
+    Each ref: {shard, file (relative), n_chunks, n_rows, raw_bytes,
+    enc_bytes}. Fresh (replace) semantics only — appends go through
+    ``commit(append=True)``, whose merge is O(touched shards) anyway."""
+    lock = _acquire_commit_lock(table_dir, lock_timeout)
+    try:
+        prev = load_refs(table_dir)
+        snapshot_id = (prev["snapshot_id"] + 1) if prev else 0
+        refs = [
+            {"shard": r["shard"], "file": r["file"],
+             "n_chunks": r["n_chunks"]}
+            for r in sorted(shard_refs, key=lambda r: r["shard"])
+        ]
+        listing = {
+            "snapshot_id": snapshot_id,
+            "engine": ENGINE_VERSION,
+            "schema_ddl": schema_ddl,
+            "manifest_shards": refs,
+            "n_chunks": sum(r["n_chunks"] for r in shard_refs),
+            "n_rows": sum(r["n_rows"] for r in shard_refs),
+            "raw_bytes": sum(r["raw_bytes"] for r in shard_refs),
+            "enc_bytes": sum(r["enc_bytes"] for r in shard_refs),
+            "extra": extra or {},
+            "parent_snapshot_id": prev["snapshot_id"] if prev else None,
+        }
+        _atomic_write_json(
+            os.path.join(table_dir, "_manifests",
+                         f"snap-{snapshot_id}.json"),
+            listing,
+        )
+        _atomic_write_json(
+            os.path.join(table_dir, "_manifest_list.json"), listing
+        )
+        return snapshot_id
+    finally:
+        try:
+            os.unlink(lock)
+        except OSError:
+            pass
 
 
 def _snapshot_ids_on_disk(mdir: str) -> set[int]:

@@ -28,6 +28,13 @@ __all__ = ["write_table", "write_table_direct", "read_table", "compact",
 DEFAULT_ROWS_PER_CHUNK = 262_144
 DEFAULT_SALT_BLOCK = 65_536
 
+# Above this many chunks the manifest plane goes DISTRIBUTED: commits
+# write shard files from executor tasks (driver sees O(shards)
+# summaries) and reads prune entries inside tasks (driver never
+# materializes per-chunk JSON). Below it, the driver path is cheaper
+# (no extra Spark stage) and easier to debug.
+DISTRIBUTED_MANIFEST_MIN_CHUNKS = 4096
+
 
 TRANSCRIPT_DDL = ("conv_id string, turn_idx int, role string, "
                   "text string, tool string, ts timestamp")
@@ -70,6 +77,7 @@ def write_table(
     shuffle: bool = True,
     bloom_cols: tuple[str, ...] = (),
     token_bloom_cols: tuple[str, ...] = (),
+    distributed_commit: bool | None = None,
 ) -> dict:
     """Encode ``df`` into an Iceberg-style encoded-chunk table.
 
@@ -92,12 +100,44 @@ def write_table(
     Use when the input is already conversation-grouped — the common
     re-encode case at scale — but note chunk ids then follow the scan's
     partition ordinals, so resume requires a stable input listing.
+
+    ``distributed_commit`` (default: auto above
+    DISTRIBUTED_MANIFEST_MIN_CHUNKS, fresh commits only): manifest
+    shard files are written by a second Spark stage grouped by shard;
+    the driver collects only O(shards) summaries instead of one JSON
+    row per chunk — at the 10¹²-turn frame (~4M chunks) the per-chunk
+    path would push GBs of JSON through the driver.
     """
-    entries, extra = _encode_entries(
+    entries_df, extra = _stage_encode(
         df, table_dir, key_cols, num_chunks, rows_per_chunk, salt_block,
         overrides, resume, chunk_expr, chunk_prefix, bloom_cols, shuffle,
         token_bloom_cols,
     )
+    if distributed_commit is None:
+        distributed_commit = (
+            not append
+            and (extra.get("num_chunks") or 0)
+            >= DISTRIBUTED_MANIFEST_MIN_CHUNKS
+        )
+    if distributed_commit:
+        if append:
+            raise ValueError(
+                "distributed_commit supports fresh commits only; "
+                "append merges go through manifest.commit(append=True)"
+            )
+        refs = _write_shards_distributed(entries_df, table_dir)
+        snapshot = manifest.commit_shards(
+            table_dir, refs, schema_ddl=df.schema.json(), extra=extra,
+        )
+        return {
+            "snapshot_id": snapshot,
+            "n_chunks": sum(r["n_chunks"] for r in refs),
+            "n_rows": sum(r["n_rows"] for r in refs),
+            "raw_bytes": sum(r["raw_bytes"] for r in refs),
+            "enc_bytes": sum(r["enc_bytes"] for r in refs),
+            "reused_chunks": sum(r["reused_chunks"] for r in refs),
+        }
+    entries = [json.loads(r.entry_json) for r in entries_df.collect()]
     snapshot = manifest.commit(
         table_dir, entries, schema_ddl=df.schema.json(),
         extra=extra, append=append,
@@ -112,7 +152,7 @@ def write_table(
     }
 
 
-def _encode_entries(
+def _stage_encode(
     df: DataFrame,
     table_dir: str,
     key_cols: tuple[str, ...],
@@ -126,12 +166,11 @@ def _encode_entries(
     bloom_cols: tuple[str, ...],
     shuffle: bool,
     token_bloom_cols: tuple[str, ...] = (),
-) -> tuple[list[dict], dict]:
-    """Run the encode job (stage → mapInArrow → collect entry rows)
-    WITHOUT committing — write_table commits the result; compact()
-    merges it with the surviving entries into ONE atomic commit (a
-    crash mid-compaction must never expose a snapshot with both the
-    small chunks and their re-encoded copies)."""
+) -> tuple[DataFrame, dict]:
+    """Build the (lazy) encode job: stage → mapInArrow → one
+    (chunk_id, entry_json) row per chunk. Callers either collect the
+    rows (driver commit, small tables) or pipe them into the
+    shard-writing stage (distributed commit)."""
     # NOTE: no JVM sortWithinPartitions — the encode kernel sorts each
     # partition with pyarrow (same total order on the unique keys, so
     # chunk bytes and data_crc are identical), which is ~20x cheaper
@@ -173,8 +212,70 @@ def _encode_entries(
                  "key_cols": list(key_cols)}
     encode_fn = make_encode_fn(table_dir, key_cols, overrides, resume,
                                chunk_prefix, bloom_cols, token_bloom_cols)
-    entry_rows = staged.mapInArrow(encode_fn, "entry_json string").collect()
-    return [json.loads(r.entry_json) for r in entry_rows], extra
+    entries_df = staged.mapInArrow(
+        encode_fn, "chunk_id string, entry_json string"
+    )
+    return entries_df, extra
+
+
+def _encode_entries(*args, **kwargs) -> tuple[list[dict], dict]:
+    """Eager variant (driver-side entry list) for the internal rewrite
+    ops (compact/delete/upsert), whose touched-entry sets are O(batch)."""
+    entries_df, extra = _stage_encode(*args, **kwargs)
+    return [json.loads(r.entry_json) for r in entries_df.collect()], extra
+
+
+def _write_shards_distributed(entries_df: DataFrame,
+                              table_dir: str) -> list[dict]:
+    """Second encode stage: group entry rows by manifest shard and let
+    each task write ONE immutable shard file; return O(shards)
+    summaries. Shard files carry a per-commit token (not the snapshot
+    id — that is assigned later under the commit lock); crashed
+    attempts leave orphan shard files that expire_snapshots ignores
+    and a future GC can sweep, exactly like Iceberg orphan files."""
+    import uuid
+
+    token = uuid.uuid4().hex[:12]
+
+    def write_shard(key, pdf):
+        import json as _json
+        import os as _os
+
+        from . import manifest as M
+
+        shard = key[0]
+        entries = sorted(
+            (_json.loads(s) for s in pdf["entry_json"]),
+            key=lambda e: e["chunk_id"],
+        )
+        fname = f"manifest-{token}-{shard or 'root'}.json"
+        fpath = _os.path.join(table_dir, "_manifests", fname)
+        M._atomic_write_json(fpath, {"entries": entries})
+        return pd.DataFrame([{
+            "shard": shard,
+            "file": _os.path.join("_manifests", fname),
+            "n_chunks": len(entries),
+            "n_rows": sum(e["n_rows"] for e in entries),
+            "raw_bytes": sum(e["raw_bytes"] for e in entries),
+            "enc_bytes": sum(e["enc_bytes"] for e in entries),
+            "reused_chunks": sum(1 for e in entries if e.get("reused")),
+        }])
+
+    shard = F.when(
+        F.length("chunk_id") > 4,
+        F.expr("substring(chunk_id, 1, length(chunk_id) - 4)"),
+    ).otherwise(F.lit(""))
+    rows = (
+        entries_df.withColumn("shard", shard)
+        .groupBy("shard")
+        .applyInPandas(
+            write_shard,
+            "shard string, file string, n_chunks long, n_rows long, "
+            "raw_bytes long, enc_bytes long, reused_chunks long",
+        )
+        .collect()
+    )
+    return [r.asDict() for r in rows]
 
 
 def read_table(
@@ -196,10 +297,21 @@ def read_table(
     before the other blobs are touched, so the returned DataFrame
     contains exactly the matching rows (no residual filter needed).
     """
-    listing = manifest.load(table_dir, snapshot_id=snapshot_id)
-    if listing is None:
+    refs = manifest.load_refs(table_dir, snapshot_id=snapshot_id)
+    if refs is None:
         raise FileNotFoundError(f"no committed snapshot in {table_dir}")
-    manifest.check_chunk_layout(listing["entries"])
+    # distributed manifest plane: above the threshold the per-chunk
+    # entries are parsed, layout-checked and stats/bloom-pruned INSIDE
+    # executor tasks (one task per shard file) — the driver handles
+    # only shard refs, so the read path scales to any chunk count
+    distributed = (
+        refs.get("manifest_shards") is not None
+        and refs.get("n_chunks", 0) >= DISTRIBUTED_MANIFEST_MIN_CHUNKS
+    )
+    listing = refs
+    if not distributed:
+        listing = manifest.load(table_dir, snapshot_id=snapshot_id)
+        manifest.check_chunk_layout(listing["entries"])
     schema = StructType.fromJson(json.loads(listing["schema_ddl"]))
     by_name = {f.name: f for f in schema.fields}
     all_cols = list(by_name)
@@ -250,32 +362,39 @@ def read_table(
             )
     sub_schema = StructType(fields)
 
-    entries = prune_entries(listing["entries"], predicates)
-    if not entries:
-        return spark.createDataFrame([], sub_schema)
-    import os
+    if distributed:
+        par = parallelism or spark.sparkContext.defaultParallelism
+        files_df = _manifest_files_df(
+            spark, table_dir, refs, predicates
+        ).repartition(par)
+    else:
+        entries = prune_entries(listing["entries"], predicates)
+        if not entries:
+            return spark.createDataFrame([], sub_schema)
+        import os
 
-    # expectation columns travel WITH each file path (no driver-side
-    # dict in the closure): the decoder checks the file's embedded
-    # entry against the snapshot's, so a chunk file rewritten in place
-    # after this snapshot fails loudly instead of silently decoding
-    # newer data (time-travel integrity).
-    files_pdf = pd.DataFrame(
-        {
-            "file": [os.path.join(table_dir, e["file"]) for e in entries],
-            "chunk_id": [e["chunk_id"] for e in entries],
-            "data_crc": pd.array([e.get("data_crc") for e in entries],
-                                 dtype="Int64"),
-            "enc_bytes": pd.array([e.get("enc_bytes") for e in entries],
-                                  dtype="Int64"),
-        }
-    )
-    par = parallelism or min(len(entries),
-                             spark.sparkContext.defaultParallelism)
-    files_df = spark.createDataFrame(
-        files_pdf,
-        "file string, chunk_id string, data_crc long, enc_bytes long",
-    ).repartition(par)
+        # expectation columns travel WITH each file path (no driver-side
+        # dict in the closure): the decoder checks the file's embedded
+        # entry against the snapshot's, so a chunk file rewritten in
+        # place after this snapshot fails loudly instead of silently
+        # decoding newer data (time-travel integrity).
+        files_pdf = pd.DataFrame(
+            {
+                "file": [os.path.join(table_dir, e["file"])
+                         for e in entries],
+                "chunk_id": [e["chunk_id"] for e in entries],
+                "data_crc": pd.array([e.get("data_crc") for e in entries],
+                                     dtype="Int64"),
+                "enc_bytes": pd.array([e.get("enc_bytes") for e in entries],
+                                      dtype="Int64"),
+            }
+        )
+        par = parallelism or min(len(entries),
+                                 spark.sparkContext.defaultParallelism)
+        files_df = spark.createDataFrame(
+            files_pdf,
+            "file string, chunk_id string, data_crc long, enc_bytes long",
+        ).repartition(par)
     if push_row_filter and predicates:
         from .decode import normalize_predicate
 
@@ -413,7 +532,9 @@ def write_table_direct(
     ).repartition(par)
     fn = make_direct_encode_fn(table_dir, key_cols, overrides, resume,
                                bloom_cols)
-    entry_rows = files_df.mapInArrow(fn, "entry_json string").collect()
+    entry_rows = files_df.mapInArrow(
+        fn, "chunk_id string, entry_json string"
+    ).collect()
     entries = [json.loads(r.entry_json) for r in entry_rows]
     schema_ddl = spark.read.parquet(files[0]).schema.json()
     snapshot = manifest.commit(
@@ -429,6 +550,53 @@ def write_table_direct(
         "enc_bytes": sum(e["enc_bytes"] for e in entries),
         "reused_chunks": sum(1 for e in entries if e.get("reused")),
     }
+
+
+def _manifest_files_df(spark, table_dir: str, refs: dict,
+                       predicates: dict | None) -> DataFrame:
+    """Distributed manifest scan: one task per shard file parses its
+    entries, applies the EXACT driver pruning logic (prune_entries —
+    JSON-typed stat compares + blooms, conservative on incomparable
+    stats) and the chunk-layout gate, and emits the surviving
+    (file, chunk_id, data_crc, enc_bytes) rows. The driver never sees
+    a chunk entry."""
+    import os
+
+    shard_files = [os.path.join(table_dir, r["file"])
+                   for r in refs["manifest_shards"]]
+    par = min(len(shard_files),
+              spark.sparkContext.defaultParallelism) or 1
+    sdf = spark.createDataFrame(
+        pd.DataFrame({"shard_file": shard_files}), "shard_file string"
+    ).repartition(par)
+
+    def parse_shards(pdfs):
+        import json as _json
+
+        from . import manifest as M
+        from .decode import prune_entries as _prune
+
+        for pdf in pdfs:
+            files, cids, crcs, encs = [], [], [], []
+            for sf in pdf["shard_file"]:
+                with open(sf) as f:
+                    entries = _json.load(f)["entries"]
+                M.check_chunk_layout(entries)
+                for e in _prune(entries, predicates):
+                    files.append(os.path.join(table_dir, e["file"]))
+                    cids.append(e["chunk_id"])
+                    crcs.append(e.get("data_crc"))
+                    encs.append(e.get("enc_bytes"))
+            yield pd.DataFrame({
+                "file": files, "chunk_id": cids,
+                "data_crc": pd.array(crcs, dtype="Int64"),
+                "enc_bytes": pd.array(encs, dtype="Int64"),
+            })
+
+    return sdf.mapInPandas(
+        parse_shards,
+        "file string, chunk_id string, data_crc long, enc_bytes long",
+    )
 
 
 def _decode_entries_df(spark, table_dir, entries, schema) -> DataFrame:
@@ -617,41 +785,83 @@ def search_text(
     a handful of chunk decodes instead of a corpus scan."""
     from .kernels.bloom import bloom_contains
 
-    listing = manifest.load(table_dir)
-    if listing is None:
+    refs = manifest.load_refs(table_dir)
+    if refs is None:
         raise FileNotFoundError(f"no committed snapshot in {table_dir}")
-    schema = StructType.fromJson(json.loads(listing["schema_ddl"]))
+    schema = StructType.fromJson(json.loads(refs["schema_ddl"]))
     sel = columns or [f.name for f in schema.fields]
     sub = StructType(
         [StructField(f.name, f.dataType, True, f.metadata)
          for f in schema.fields if f.name in set(sel + [column])]
     )
-    kept = []
-    for e in listing["entries"]:
-        tb = e["columns"].get(column, {}).get("token_bloom")
-        if tb is None or bloom_contains(tb, token):
-            kept.append(e)
-    if not kept:
-        return spark.createDataFrame([], sub).select(*sel)
-    decoded = _decode_entries_df(spark, table_dir, kept, sub)
+    if (refs.get("manifest_shards") is not None
+            and refs.get("n_chunks", 0) >= DISTRIBUTED_MANIFEST_MIN_CHUNKS):
+        # distributed: token-bloom check runs in the shard-scan tasks
+        import os
+
+        shard_files = [os.path.join(table_dir, r["file"])
+                       for r in refs["manifest_shards"]]
+        par = min(len(shard_files),
+                  spark.sparkContext.defaultParallelism) or 1
+        sdf = spark.createDataFrame(
+            pd.DataFrame({"shard_file": shard_files}), "shard_file string"
+        ).repartition(par)
+
+        def bloom_scan(pdfs):
+            import json as _json
+
+            from . import manifest as M
+            from .kernels.bloom import bloom_contains as _bc
+
+            for pdf in pdfs:
+                files = []
+                for sf in pdf["shard_file"]:
+                    with open(sf) as f:
+                        entries = _json.load(f)["entries"]
+                    M.check_chunk_layout(entries)
+                    for e in entries:
+                        tb = e["columns"].get(column, {}) \
+                            .get("token_bloom")
+                        if tb is None or _bc(tb, token):
+                            files.append(
+                                os.path.join(table_dir, e["file"])
+                            )
+                yield pd.DataFrame({"file": files})
+
+        files_df = sdf.mapInPandas(bloom_scan, "file string") \
+            .repartition(spark.sparkContext.defaultParallelism)
+        from .decode import make_decode_fn
+
+        try:
+            from pyspark.sql.pandas.types import to_arrow_schema
+
+            column_types = {f.name: f.type for f in to_arrow_schema(sub)}
+        except Exception:
+            column_types = {}
+        cols = [f.name for f in sub.fields]
+        decoded = files_df.mapInArrow(
+            make_decode_fn(cols, column_types=column_types), sub
+        )
+    else:
+        listing = manifest.load(table_dir)
+        kept = []
+        for e in listing["entries"]:
+            tb = e["columns"].get(column, {}).get("token_bloom")
+            if tb is None or bloom_contains(tb, token):
+                kept.append(e)
+        if not kept:
+            return spark.createDataFrame([], sub).select(*sel)
+        decoded = _decode_entries_df(spark, table_dir, kept, sub)
     return decoded.filter(
         F.array_contains(F.split(F.col(column), " "), token)
     ).select(*sel)
 
 
-def column_stats(table_dir: str, column: str,
-                 snapshot_id: int | None = None) -> dict:
-    """Aggregate pushdown from the manifest alone — count / null_count
-    / min / max / sum (numerics) without touching a chunk file, the
-    way Parquet readers answer these from RowGroup statistics. Returns
-    None fields when a chunk lacks the stat (conservative)."""
-    listing = manifest.load(table_dir, snapshot_id=snapshot_id)
-    if listing is None:
-        raise FileNotFoundError(f"no committed snapshot in {table_dir}")
+def _accumulate_column_stats(entries: list[dict], column: str) -> dict:
     n = nulls = 0
     mn = mx = total = None
     have_all_sums = True
-    for e in listing["entries"]:
+    for e in entries:
         m = e["columns"].get(column)
         if m is None:  # schema evolution: column absent → all null
             n += e["n_rows"]
@@ -667,23 +877,91 @@ def column_stats(table_dir: str, column: str,
             total = m["sum"] if total is None else total + m["sum"]
         elif m["n"] > m["nulls"]:
             have_all_sums = False
+    return {"count": n, "null_count": nulls, "min": mn, "max": mx,
+            "sum": total, "have_all_sums": have_all_sums}
+
+
+def _merge_column_stats(parts: list[dict]) -> dict:
+    out = {"count": 0, "null_count": 0, "min": None, "max": None,
+           "sum": None, "have_all_sums": True}
+    for p in parts:
+        out["count"] += p["count"]
+        out["null_count"] += p["null_count"]
+        for k, pick in (("min", min), ("max", max)):
+            if p[k] is not None:
+                out[k] = p[k] if out[k] is None else pick(out[k], p[k])
+        if p["sum"] is not None:
+            out["sum"] = (p["sum"] if out["sum"] is None
+                          else out["sum"] + p["sum"])
+        out["have_all_sums"] &= p["have_all_sums"]
+    return out
+
+
+def column_stats(table_dir: str, column: str,
+                 snapshot_id: int | None = None,
+                 spark: SparkSession | None = None) -> dict:
+    """Aggregate pushdown from the manifest alone — count / null_count
+    / min / max / sum (numerics) without touching a chunk file, the
+    way Parquet readers answer these from RowGroup statistics. Returns
+    None fields when a chunk lacks the stat (conservative).
+
+    Pass ``spark`` to compute shard partials in executor tasks above
+    DISTRIBUTED_MANIFEST_MIN_CHUNKS — the driver then merges O(shards)
+    partials instead of walking every entry."""
+    refs = manifest.load_refs(table_dir, snapshot_id=snapshot_id)
+    if refs is None:
+        raise FileNotFoundError(f"no committed snapshot in {table_dir}")
+    if (spark is not None
+            and refs.get("manifest_shards") is not None
+            and refs.get("n_chunks", 0) >= DISTRIBUTED_MANIFEST_MIN_CHUNKS):
+        import os
+
+        shard_files = [os.path.join(table_dir, r["file"])
+                       for r in refs["manifest_shards"]]
+        par = min(len(shard_files),
+                  spark.sparkContext.defaultParallelism) or 1
+        sdf = spark.createDataFrame(
+            pd.DataFrame({"shard_file": shard_files}), "shard_file string"
+        ).repartition(par)
+
+        def shard_stats(pdfs):
+            import json as _json
+
+            for pdf in pdfs:
+                outs = []
+                for sf in pdf["shard_file"]:
+                    with open(sf) as f:
+                        entries = _json.load(f)["entries"]
+                    outs.append(_json.dumps(
+                        _accumulate_column_stats(entries, column)
+                    ))
+                yield pd.DataFrame({"part": outs})
+
+        parts = [json.loads(r.part)
+                 for r in sdf.mapInPandas(shard_stats,
+                                          "part string").collect()]
+        st = _merge_column_stats(parts)
+    else:
+        listing = manifest.load(table_dir, snapshot_id=snapshot_id)
+        st = _accumulate_column_stats(listing["entries"], column)
     return {
-        "count": n,
-        "null_count": nulls,
-        "min": mn,
-        "max": mx,
-        "sum": total if have_all_sums else None,
+        "count": st["count"],
+        "null_count": st["null_count"],
+        "min": st["min"],
+        "max": st["max"],
+        "sum": st["sum"] if st["have_all_sums"] else None,
     }
 
 
 def count_rows(table_dir: str, snapshot_id: int | None = None) -> int:
-    """Exact row count straight from the manifest — no Spark job, no
-    chunk I/O (the count-only fast path; Parquet readers do the same
-    from RowGroup.num_rows)."""
-    listing = manifest.load(table_dir, snapshot_id=snapshot_id)
-    if listing is None:
+    """Exact row count straight from the snapshot LISTING — no Spark
+    job, no chunk I/O, and no per-entry materialization either (the
+    commit already totalled n_rows; Parquet readers do the same from
+    RowGroup.num_rows)."""
+    refs = manifest.load_refs(table_dir, snapshot_id=snapshot_id)
+    if refs is None:
         raise FileNotFoundError(f"no committed snapshot in {table_dir}")
-    return listing["n_rows"]
+    return refs["n_rows"]
 
 
 def verify_roundtrip(source: DataFrame, decoded: DataFrame,

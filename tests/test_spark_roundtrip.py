@@ -846,3 +846,123 @@ def test_list_struct_shredding_projects_child_bytes(spark, transcripts,
     got_nulls = flat.filter(F.col("`tool_calls.name`").isNull()).count()
     assert got_nulls == df.filter(F.col("tool_calls").isNull()).count()
     assert got_nulls > 0
+
+
+def test_distributed_commit_matches_driver_commit(spark, tmp_path):
+    """write_table(distributed_commit=True): shard files are written by
+    executor tasks and the driver commits only O(shards) summaries —
+    the resulting snapshot must be indistinguishable from the driver
+    commit path (same entries, same decode)."""
+    df = make_transcripts_df(spark, n_conv=60, seed=13)
+    out_a = str(tmp_path / "driver")
+    out_b = str(tmp_path / "dist")
+    ia = table.write_table(df, out_a, num_chunks=4)
+    ib = table.write_table(df, out_b, num_chunks=4,
+                           distributed_commit=True)
+    assert ib["n_chunks"] == ia["n_chunks"]
+    assert ib["n_rows"] == ia["n_rows"]
+    assert ib["enc_bytes"] == ia["enc_bytes"]
+    la, lb = manifest.load(out_a), manifest.load(out_b)
+    ka = {e["chunk_id"]: e["data_crc"] for e in la["entries"]}
+    kb = {e["chunk_id"]: e["data_crc"] for e in lb["entries"]}
+    assert ka == kb
+    back = table.read_table(spark, out_b)
+    assert table.verify_roundtrip(df, back, ("conv_id", "turn_idx"))[
+        "identical"
+    ]
+    # appends refuse the distributed path explicitly
+    with pytest.raises(ValueError, match="append"):
+        table.write_table(df.limit(10), out_b, num_chunks=1, append=True,
+                          distributed_commit=True)
+
+
+def _synthesize_big_manifest(spark, tmp_path, n_fake=100_000,
+                             shard_width=10_000):
+    """A table whose manifest claims 100k+ chunks: a handful of REAL
+    chunks (written by the engine) plus n_fake synthetic entries whose
+    conv_id stats exclude the probe predicate — only shard-task pruning
+    can handle this size without materializing entries on the driver."""
+    df = make_transcripts_df(spark, n_conv=30, seed=21)
+    out = str(tmp_path / "big")
+    table.write_table(df, out, num_chunks=2, chunk_prefix="zz-real-")
+    listing = manifest.load(out)
+    real_entries = listing["entries"]
+    import copy
+    proto = copy.deepcopy(real_entries[0])
+    shards = {}
+    for i in range(n_fake):
+        e = {
+            "chunk_id": f"fk{i:08d}",
+            "file": f"chunks/chunk-fk{i:08d}.parquet",  # never opened
+            "n_rows": 10, "raw_bytes": 1000, "enc_bytes": 100,
+            "data_crc": 1, "engine": proto["engine"],
+            "columns": {
+                "conv_id": {"n": 10, "nulls": 0, "crc32": 0,
+                            # stats range EXCLUDES every real conv id
+                            "min": "zzz-a", "max": "zzz-b"},
+            },
+        }
+        shards.setdefault(e["chunk_id"][:-4], []).append(e)
+    for e in real_entries:
+        shards.setdefault(e["chunk_id"][:-4], []).append(e)
+    refs = []
+    for shard, ents in sorted(shards.items()):
+        fname = f"manifest-9-{shard}.json"
+        manifest._atomic_write_json(
+            os.path.join(out, "_manifests", fname), {"entries": ents}
+        )
+        refs.append({"shard": shard,
+                     "file": os.path.join("_manifests", fname),
+                     "n_chunks": len(ents)})
+    big = {
+        "snapshot_id": 9,
+        "engine": manifest.ENGINE_VERSION,
+        "schema_ddl": listing["schema_ddl"],
+        "manifest_shards": refs,
+        "n_chunks": n_fake + len(real_entries),
+        "n_rows": 10 * n_fake + listing["n_rows"],
+        "raw_bytes": 0, "enc_bytes": 0,
+        "extra": listing["extra"], "parent_snapshot_id": None,
+    }
+    manifest._atomic_write_json(
+        os.path.join(out, "_manifests", "snap-9.json"), big
+    )
+    manifest._atomic_write_json(
+        os.path.join(out, "_manifest_list.json"), big
+    )
+    return out, df
+
+
+def test_distributed_read_never_materializes_entries(spark, tmp_path,
+                                                     monkeypatch):
+    """Above DISTRIBUTED_MANIFEST_MIN_CHUNKS, read_table must prune
+    inside shard tasks: a 100k-chunk manifest is scanned without the
+    driver ever calling manifest.load / _read_entries, and stats
+    pruning drops every fake chunk before any file is opened."""
+    out, df = _synthesize_big_manifest(spark, tmp_path)
+
+    def boom(*a, **k):
+        raise AssertionError("driver materialized manifest entries")
+
+    monkeypatch.setattr(manifest, "_read_entries", boom)
+    monkeypatch.setattr(manifest, "load", boom)
+    # predicate overlaps only the REAL chunks (fake stats are zzz-*)
+    got = table.read_table(
+        spark, out, predicates={"conv_id": (None, "conv-99999999")}
+    )
+    assert got.count() == df.count()
+    monkeypatch.undo()
+
+    # count_rows answers from the listing totals alone
+    monkeypatch.setattr(manifest, "_read_entries", boom)
+    assert table.count_rows(out) == 100_000 * 10 + df.count()
+
+
+def test_distributed_column_stats_matches_driver(spark, tmp_path):
+    """column_stats with a SparkSession computes shard partials in
+    tasks; the merged result must equal the driver walk."""
+    out, df = _synthesize_big_manifest(spark, tmp_path, n_fake=20_000)
+    via_driver = table.column_stats(out, "conv_id")
+    via_tasks = table.column_stats(out, "conv_id", spark=spark)
+    assert via_tasks == via_driver
+    assert via_tasks["count"] == 20_000 * 10 + df.count()
