@@ -152,17 +152,31 @@ def dedup_components(spark, sf_dir, threshold_num=3, threshold_den=10,
 
 N_MINHASH = 32
 LSH_BANDS = 8  # 8 bands × 4 rows
+LSH_BUCKET_CAP = 64  # all-pairs only below this; giant buckets go star
 
 
-def dedup_minhash_lsh(spark, sf_dir):
+def dedup_minhash_lsh(spark, sf_dir, bucket_cap: int = LSH_BUCKET_CAP):
     """MinHash + LSH banding near-dup candidates (no SQL oracle —
     xxhash64 seeds are Spark-specific; driver records rows-only).
 
     minhash_i(doc) = min over shingles of xxhash64(shingle, i); band
     signature = hash of 4 consecutive minhashes; docs sharing any band
-    bucket are candidates. At scale: the only shuffles are the
-    per-doc minhash aggregation and the band-bucket self-join; bucket
-    sizes are bounded by construction (split giant buckets by salt)."""
+    bucket are candidates.
+
+    HOT-BUCKET CAP (the k-duplicate-cluster hazard): a cluster of k
+    near-identical docs collides in every band, and an uncapped
+    self-join materializes O(k²) pairs inside ONE task — 10⁶ pairs for
+    a single 1000-duplicate cluster. Buckets wider than ``bucket_cap``
+    therefore emit a STAR instead (every member paired with the
+    bucket's min doc_id): O(k) pairs, same connected components for
+    downstream dedup clustering. The approximation: within a giant
+    bucket, non-rep pairs lose their direct candidate edge — harmless
+    for dedup (members of a giant LSH bucket share a full band
+    signature, i.e. they are near-identical and the verifier links
+    them through the rep), documented for any caller that needs exact
+    pairwise candidates. Shuffles: minhash agg (map-side combined),
+    bucket-size agg, and the capped self-join — per-task pair count is
+    bounded by bucket_cap² per bucket."""
     docs = _documents(spark, sf_dir)
     sh = _word_shingles(docs)
     mh = sh.groupBy("doc_id").agg(
@@ -185,14 +199,26 @@ def dedup_minhash_lsh(spark, sf_dir):
     allb = bands[0]
     for x in bands[1:]:
         allb = allb.unionByName(x)
-    cand = (
-        allb.alias("a")
-        .join(allb.alias("b"), ["band", "bucket"])
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
+    sizes = allb.groupBy("band", "bucket").agg(
+        F.count("*").alias("_bsz"), F.min("doc_id").alias("_rep")
     )
-    return cand
+    tagged = allb.join(sizes, ["band", "bucket"])
+    small = tagged.filter(F.col("_bsz") <= bucket_cap) \
+        .select("doc_id", "band", "bucket")
+    pairs_small = (
+        small.alias("a")
+        .join(small.alias("b"), ["band", "bucket"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"))
+    )
+    pairs_star = (
+        tagged.filter((F.col("_bsz") > bucket_cap)
+                      & (F.col("doc_id") != F.col("_rep")))
+        .select(F.col("_rep").alias("doc_a"),
+                F.col("doc_id").alias("doc_b"))
+    )
+    return pairs_small.unionByName(pairs_star).distinct()
 
 
 def simhash(spark, sf_dir):

@@ -131,3 +131,41 @@ def test_ann_ivf_recall_vs_exact(spark):
     again = {(r["query_id"], r["vec_id"])
              for r in P.ann_ivf_topk(spark, SF, n_queries=5, k=10).collect()}
     assert again == ap  # deterministic
+
+
+def test_minhash_hot_bucket_cap_bounds_pairs(spark, tmp_path):
+    """A 1000-identical-doc cluster collides in every band; the capped
+    path must emit O(k) star pairs (not O(k^2)) while keeping every
+    duplicate connected to the cluster representative, and the capped
+    result on a normal corpus must equal the uncapped one."""
+    import os
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    k = 1000
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    t = pa.table({
+        "doc_id": pa.array(range(k), pa.int64()),
+        "lang": pa.array(["en"] * k),
+        "text": pa.array([text] * k),
+        "n_chars": pa.array([len(text)] * k, pa.int64()),
+    })
+    sf = str(tmp_path)
+    pq.write_table(t, os.path.join(sf, "documents.parquet"))
+
+    pairs = P.dedup_minhash_lsh(spark, sf).collect()
+    # star topology: k-1 pairs, not k*(k-1)/2
+    assert len(pairs) == k - 1, len(pairs)
+    rep = min(min(r["doc_a"], r["doc_b"]) for r in pairs)
+    connected = {rep}
+    for r in pairs:
+        assert r["doc_a"] == rep  # every pair goes through the rep
+        connected.add(r["doc_b"])
+    assert len(connected) == k  # all duplicates reachable -> one cluster
+
+    # normal corpus (no giant buckets): capped == uncapped, recall intact
+    capped = {tuple(r) for r in P.dedup_minhash_lsh(spark, SF).collect()}
+    uncapped = {tuple(r)
+                for r in P.dedup_minhash_lsh(spark, SF,
+                                             bucket_cap=1 << 30).collect()}
+    assert capped == uncapped
