@@ -58,6 +58,9 @@ _NESTED_DTS = (_DT_LIST, _DT_STRUCT, _DT_MAP)
 # int64 kernels via wrap-safe two's-complement views — uint64 above
 # 2^63 wraps on encode and wraps back on decode, bit-exact.
 _DT_U8, _DT_U16, _DT_U32, _DT_U64, _DT_F16 = 19, 20, 21, 22, 23
+# FIXED_LEN_BYTE_ARRAY (parquet.thrift:32-41; carries UUID / INTERVAL /
+# FLOAT16-as-FLBA logical types): fixed width, byte-plane transposed
+_DT_FSB = 24
 
 # codec codes
 _C_PLAIN, _C_PLAIN_STR, _C_DICT, _C_RLE, _C_DELTA, _C_FOR, _C_BSS, _C_FSST, _C_BOOL = (
@@ -115,6 +118,8 @@ def _dtype_code(t: pa.DataType) -> int:
         t.value_type
     ):
         return _DT_LIST_F64
+    if pa.types.is_fixed_size_binary(t):
+        return _DT_FSB
     if pa.types.is_binary(t) or pa.types.is_large_binary(t):
         return _DT_BIN
     if pa.types.is_decimal128(t):
@@ -329,6 +334,19 @@ def _encode_values(arr: pa.Array, dt: int, codec: int) -> bytes:
     """Codec body over the non-null values of ``arr``."""
     if dt in _NESTED_DTS:
         return _encode_nested(arr, dt)
+    if dt == _DT_FSB:
+        # FLBA/UUID: byte-plane transpose (BYTE_STREAM_SPLIT applied to
+        # fixed-width bytes, parquet.thrift:620-630) — plane-major
+        # layout groups the low-entropy positions so the zstd stage
+        # compresses them instead of seeing interleaved noise
+        a = arr.drop_null() if arr.null_count else arr
+        a = a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+        w = a.type.byte_width
+        raw = np.frombuffer(a.buffers()[1], np.uint8)[
+            a.offset * w : (a.offset + len(a)) * w
+        ]
+        planes = np.ascontiguousarray(raw.reshape(-1, w).T)
+        return struct.pack("<I", w) + planes.tobytes()
     if dt == _DT_DEC128:
         a = arr.drop_null() if arr.null_count else arr
         a = a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
@@ -345,6 +363,23 @@ def _encode_values(arr: pa.Array, dt: int, codec: int) -> bytes:
             from .kernels.pfor import pfor_encode
 
             return body + pfor_encode(np.ascontiguousarray(lo))
+        # precision > 18: PFOR the two int64 halves separately — the
+        # high words are sign-extension constants for values that fit
+        # well under 2^63 (the common case even at DECIMAL(38,x)), so
+        # they collapse to near-zero bits instead of 8 raw bytes each
+        if len(a):
+            from .kernels.pfor import pfor_encode
+
+            lo = np.ascontiguousarray(raw.view("<i8")[0::2])
+            hi = np.ascontiguousarray(raw.view("<i8")[1::2])
+            lo_blob = pfor_encode(lo)
+            hi_blob = pfor_encode(hi)
+            if len(lo_blob) + len(hi_blob) + 8 < raw.nbytes:
+                return (
+                    struct.pack("<BBBI", a.type.precision, a.type.scale,
+                                2, len(lo_blob))
+                    + lo_blob + hi_blob
+                )
         return (
             struct.pack("<BBB", a.type.precision, a.type.scale, 0)
             + raw.tobytes()
@@ -422,15 +457,32 @@ def _encode_values(arr: pa.Array, dt: int, codec: int) -> bytes:
 def _decode_values(body: memoryview, dt: int, codec: int, n: int) -> pa.Array:
     if dt in _NESTED_DTS:
         return _decode_nested(body, dt, n)
+    if dt == _DT_FSB:
+        (w,) = struct.unpack_from("<I", body, 0)
+        planes = np.frombuffer(body, np.uint8, count=n * w, offset=4)
+        raw = np.ascontiguousarray(planes.reshape(w, n).T)
+        return pa.Array.from_buffers(
+            pa.binary(w), n, [None, pa.py_buffer(raw.tobytes())]
+        )
     if dt == _DT_DEC128:
         precision, scale, packed = struct.unpack_from("<BBB", body, 0)
-        if packed:
+        if packed == 1:
             from .kernels.pfor import pfor_decode
 
             lo = pfor_decode(body[3:])
             raw = np.zeros((n, 2), dtype=np.int64)
             raw[:, 0] = lo
             raw[:, 1] = lo >> 63  # sign-extend the high word
+            buf = pa.py_buffer(np.ascontiguousarray(raw).tobytes())
+        elif packed == 2:  # two-halves pack (precision > 18)
+            from .kernels.pfor import pfor_decode
+
+            (lo_len,) = struct.unpack_from("<I", body, 3)
+            lo = pfor_decode(body[7 : 7 + lo_len])
+            hi = pfor_decode(body[7 + lo_len :])
+            raw = np.empty((n, 2), dtype=np.int64)
+            raw[:, 0] = lo
+            raw[:, 1] = hi
             buf = pa.py_buffer(np.ascontiguousarray(raw).tobytes())
         else:
             buf = pa.py_buffer(bytes(body[3 : 3 + 16 * n]))

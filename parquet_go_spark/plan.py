@@ -111,8 +111,14 @@ def profile_array(arr: pa.Array, name: str = "", sample: int = 65536) -> ColumnS
         st.avg_len = float(lens.mean()) if len(lens) else 0.0
         return st
 
+    if pa.types.is_fixed_size_binary(t):
+        # FLBA/UUID surface (parquet.thrift:32-41, UUID logical type):
+        # fixed width, byte-plane transposed + zstd in the codec body
+        st.avg_len = float(t.byte_width)
+        return st
+
     if pa.types.is_decimal(t):
-        return st  # plain(+zstd) only; no numeric kernel stats
+        return st  # int64-packed / two-halves PFOR in the codec body
 
     if pa.types.is_boolean(t):
         st.n_distinct = min(st.n_distinct, 2)
@@ -154,7 +160,7 @@ def choose_codec(st: ColumnStats) -> tuple[str, str]:
     if t == "bool":
         return "plain", "none"
 
-    if t.startswith("decimal"):
+    if t.startswith(("decimal", "fixed_size_binary")):
         return "plain", "zstd"
 
     if t.startswith(("struct", "map")):

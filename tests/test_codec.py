@@ -360,3 +360,54 @@ def test_uint_and_float16_matrix():
         mask[::7] = True
         narr = pa.array(vals, type=t, mask=mask)
         assert decode_array(encode_array(narr, "plain", "zstd")).equals(narr)
+
+
+def test_fixed_size_binary_roundtrip_and_planes():
+    """FLBA/UUID surface (parquet.thrift:32-41): fixed_size_binary
+    round-trips bit-exactly (incl. nulls), and the byte-plane transpose
+    + zstd beats raw+zstd on UUIDs that share byte positions."""
+    import numpy as np
+    import pyarrow as pa
+
+    from parquet_go_spark.codec import decode_array, encode_array
+
+    rng = np.random.default_rng(3)
+    n = 4096
+    # UUIDv7-ish: leading 6 timestamp-ish bytes shared/slowly varying
+    raw = rng.integers(0, 256, size=(n, 16), dtype=np.uint8)
+    raw[:, 0:4] = 0x01
+    raw[:, 4] = (np.arange(n) >> 8).astype(np.uint8)
+    vals = [raw[i].tobytes() for i in range(n)]
+    vals[7] = None
+    vals[4000] = None
+    arr = pa.array(vals, type=pa.binary(16))
+    blob = encode_array(arr, "plain", "zstd")
+    assert decode_array(blob).equals(arr)
+    # plane transpose beats an untransposed baseline: compare against
+    # variable-width binary of the same bytes
+    base = encode_array(arr.cast(pa.binary()), "plain", "zstd")
+    assert len(blob) < len(base)
+
+
+def test_wide_decimal_two_halves_pack():
+    """DECIMAL(38,x): two-int64-halves PFOR pack — values that fit in
+    the low word collapse the high-word stream; full-range ±10^30
+    values still round-trip bit-exactly."""
+    import decimal
+
+    import pyarrow as pa
+
+    from parquet_go_spark.codec import decode_array, encode_array
+
+    small = [decimal.Decimal(i * 97 - 5000) / 100 for i in range(5000)]
+    arr = pa.array(small, type=pa.decimal128(38, 2))
+    blob = encode_array(arr, "plain", "none")
+    assert decode_array(blob).equals(arr)
+    assert len(blob) < 16 * len(small) / 2  # beats raw 16B/value by 2x+
+
+    huge = [
+        decimal.Decimal(10) ** 30 + i * (-1) ** i for i in range(1000)
+    ] + [None, decimal.Decimal(-(10 ** 35))]
+    arr2 = pa.array(huge, type=pa.decimal128(38, 0))
+    blob2 = encode_array(arr2, "plain", "zstd")
+    assert decode_array(blob2).equals(arr2)
