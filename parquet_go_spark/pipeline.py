@@ -601,6 +601,49 @@ def sessionize(spark, sf_dir, gap_minutes: int = 30):
     )
 
 
+def decontaminate(spark, sf_dir=None, corpus: DataFrame | None = None,
+                  benchmark: DataFrame | None = None, k: int = 3,
+                  min_hits: int = 1):
+    """Benchmark decontamination: flag corpus documents that share any
+    word k-gram with a benchmark/eval set (the standard guard against
+    test-set leakage into training data). Returns one row per corpus
+    doc: (doc_id, n_hits, contaminated).
+
+    100 TB shape: the benchmark side is small by construction (eval
+    sets are thousands of docs) → its distinct shingles are hashed to
+    8-byte keys and BROADCAST; the corpus side streams through one
+    map-side hash-join + a map-side-combined groupBy — no shuffle of
+    corpus text, no skew (shingle fan-out is per-doc bounded). A
+    billion-doc corpus runs this as a single scan."""
+    if corpus is None:
+        corpus = _documents(spark, sf_dir)
+    if benchmark is None:
+        # default probe: treat the lexicographically first 10 docs as
+        # the "benchmark" (deterministic; callers pass the real one)
+        benchmark = corpus.orderBy("doc_id").limit(10)
+    c_sh = _word_shingles(corpus, k=k) \
+        .withColumn("h", F.xxhash64("shingle")).drop("shingle")
+    b_sh = (
+        _word_shingles(benchmark.select("doc_id", "text"), k=k)
+        .select(F.xxhash64("shingle").alias("h")).distinct()
+    )
+    hits = (
+        c_sh.join(F.broadcast(b_sh), "h")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return (
+        corpus.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) >= min_hits)
+            .alias("contaminated"),
+        )
+    )
+
+
 # ---------------------------------------------------------- text analysis
 
 LANG_MARKERS = {

@@ -640,7 +640,7 @@ def q_stats_pushdown(spark, sf_dir):
     l_quantity answered from the manifest alone — zero chunk I/O, no
     Spark job (RowGroup-statistics parity at table level)."""
     st = table.column_stats(encoded_lineitem_dir(spark, sf_dir),
-                            "l_quantity")
+                            "l_quantity", spark=spark)
     return spark.createDataFrame(
         [(st["count"], st["null_count"], float(st["min"]),
           float(st["max"]), float(st["sum"]))],

@@ -169,3 +169,30 @@ def test_minhash_hot_bucket_cap_bounds_pairs(spark, tmp_path):
                 for r in P.dedup_minhash_lsh(spark, SF,
                                              bucket_cap=1 << 30).collect()}
     assert capped == uncapped
+
+
+def test_decontaminate_flags_benchmark_overlap(spark):
+    """A corpus doc copying a benchmark passage is flagged; clean docs
+    are not; the benchmark side is broadcast (no corpus-text shuffle)."""
+    corpus = spark.createDataFrame(
+        [
+            (1, "the capital of france is paris and it is large"),
+            (2, "completely unrelated text about spark codecs here"),
+            (3, "nothing shared with any benchmark document at all"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "what is the capital of france is paris answer")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: (r["n_hits"], r["contaminated"])
+           for r in P.decontaminate(spark, corpus=corpus,
+                                    benchmark=bench).collect()}
+    assert got[1][1] is True and got[1][0] >= 2  # shares 3-grams
+    assert got[2] == (0, False)
+    assert got[3] == (0, False)
+    # plan: benchmark side broadcast
+    plan = P.decontaminate(spark, corpus=corpus, benchmark=bench) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
