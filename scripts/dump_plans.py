@@ -15,10 +15,12 @@ SF = "/root/testdata/sf0.01"
 
 NOTES = {
     "encode_staged": """The encode path's one shuffle: `Exchange hashpartitioning(_ck, 64)`
-feeding `Sort [_ck, conv_id, turn_idx]` then the Python/Arrow encode node
-(`MapInArrow`). Everything upstream of the exchange is whole-stage
-codegen; the parquet scan reads all six columns because all are encoded
-(no waste). `num_chunks` sizes the exchange, so shuffle fan-out = chunk
+feeding the Python/Arrow encode node (`MapInArrow`) directly — there is
+NO JVM Sort node: the kernel sorts each partition with pyarrow (same
+total order on the unique keys, ~1/20th the cost of Spark's row
+sorter). Everything upstream of the exchange is whole-stage codegen;
+the parquet scan reads all six columns because all are encoded (no
+waste). `num_chunks` sizes the exchange, so shuffle fan-out = chunk
 count, never a fixed default.""",
     "decode_read_table": """Decode is a parallelized local scan: the file list (one row per
 manifest-selected chunk) is repartitioned and each task `MapInArrow`s
