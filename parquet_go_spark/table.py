@@ -179,23 +179,25 @@ def _stage_encode(
         staged = df
         extra = {"mode": "locality", "key_cols": list(key_cols)}
     else:
+        size = None
+        try:
+            est = int(
+                df._jdf.queryExecution().optimizedPlan().stats()
+                .sizeInBytes().toString()
+            )
+            if 0 < est < (1 << 50):  # Catalyst "unknown" is huge
+                size = est
+        except Exception:
+            pass
         if num_chunks is None:
             # prefer Catalyst's size estimate (no extra job); fall back
             # to an exact count. Both are deterministic for the same
             # input, which resume's chunk-id stability requires.
-            num_chunks = None
-            try:
-                size = int(
-                    df._jdf.queryExecution().optimizedPlan().stats()
-                    .sizeInBytes().toString()
-                )
-                if 0 < size < (1 << 50):  # Catalyst "unknown" is huge
-                    # rows_per_chunk ≈ 64 MB of in-memory rows at the
-                    # transcript shape (~250 B/row)
-                    num_chunks = max(1, math.ceil(size / (64 << 20)))
-            except Exception:
-                pass
-            if num_chunks is None:
+            if size is not None:
+                # rows_per_chunk ≈ 64 MB of in-memory rows at the
+                # transcript shape (~250 B/row)
+                num_chunks = max(1, math.ceil(size / (64 << 20)))
+            else:
                 n = df.count()
                 num_chunks = max(1, math.ceil(n / rows_per_chunk))
         if chunk_expr is not None:
@@ -207,7 +209,20 @@ def _stage_encode(
                 else F.lit(0)
             )
             ck = F.pmod(F.xxhash64(F.col(key_cols[0]), salt), F.lit(num_chunks))
-        staged = df.withColumn("_ck", ck).repartition(num_chunks, "_ck")
+        # shuffle PARTITION count is decoupled from CHUNK count: chunk
+        # identity is the _ck value (the kernel sorts its partition and
+        # slices every _ck group it holds), so chunk bytes / resume /
+        # manifests are partition-count-independent. Tasks are sized
+        # for the cluster — ~2 waves per core, capped at ~256 MB of
+        # input per task — instead of one JVM↔Python round-trip per
+        # chunk (at one-chunk-per-task a 4M-chunk table would schedule
+        # 4M tiny tasks; at local[1] it made 64 round-trips for 204 MB)
+        par = df.sparkSession.sparkContext.defaultParallelism
+        floor_parts = 2 * max(par, 1)
+        if size is not None:
+            floor_parts = max(floor_parts, math.ceil(size / (256 << 20)))
+        n_parts = max(1, min(num_chunks, floor_parts))
+        staged = df.withColumn("_ck", ck).repartition(n_parts, "_ck")
         extra = {"num_chunks": num_chunks, "salt_block": salt_block,
                  "key_cols": list(key_cols)}
     encode_fn = make_encode_fn(table_dir, key_cols, overrides, resume,
