@@ -116,15 +116,16 @@ class _MatchTables:
             stack.append(i)
         self.parent = parent
         self.max_chain = len({t[1] for t in items})
-        # 2-byte-prefix occupancy prefilter: a 3-8-byte symbol's dyadic
-        # interval lies entirely within one 16-bit-prefix bucket (the
-        # prefix IS its first two bytes), so a window key whose prefix
-        # bucket is empty cannot have any long match — most frontier
-        # positions in real text are filtered by one uint8 gather
-        # instead of paying the binary search.
-        self.occ16 = np.zeros(1 << 16, np.uint8)
-        if n:
-            self.occ16[(self.starts >> np.uint64(48)).astype(np.int64)] = 1
+        # 2-byte-prefix occupancy prefilter: a 3-8-byte symbol's
+        # dyadic interval lies entirely within one 16-bit-prefix bucket
+        # (the prefix IS its first two bytes), so a window key whose
+        # bucket is empty cannot have any long match — those frontier
+        # positions skip the binary search after one uint8 gather. (An
+        # in-bucket linear count-scan was tried and measured no faster
+        # than searchsorted on the surviving keys.)
+        pref = ((self.starts >> np.uint64(48)).astype(np.int64)
+                if n else np.zeros(0, np.int64))
+        self.cnt16 = np.bincount(pref, minlength=1 << 16).astype(np.int32)
 
     def long_match(self, k: np.ndarray, rem: np.ndarray,
                    code: np.ndarray, mlen: np.ndarray) -> None:
@@ -132,9 +133,9 @@ class _MatchTables:
         the 3–8-byte symbols (rem-capped)."""
         if len(self.starts) == 0 or len(k) == 0:
             return
-        cand = np.flatnonzero(
-            self.occ16[(k >> np.uint64(48)).astype(np.int64)]
-        )
+        p16 = (k >> np.uint64(48)).astype(np.int64)
+        c_all = self.cnt16[p16]
+        cand = np.flatnonzero(c_all > 0)
         if len(cand) == 0:
             return
         kc = k[cand]
