@@ -213,14 +213,16 @@ def _stage_encode(
         # identity is the _ck value (the kernel sorts its partition and
         # slices every _ck group it holds), so chunk bytes / resume /
         # manifests are partition-count-independent. Tasks are sized
-        # for the cluster — ~2 waves per core, capped at ~256 MB of
-        # input per task — instead of one JVM↔Python round-trip per
-        # chunk (at one-chunk-per-task a 4M-chunk table would schedule
-        # 4M tiny tasks; at local[1] it made 64 round-trips for 204 MB)
+        # for the cluster — ~4 waves per core (straggler overlap; 2
+        # waves measurably lost N→4N efficiency to the last-wave tail),
+        # at most ~128 MB of input per task (python-worker working set)
+        # — instead of one JVM↔Python round-trip per chunk (at
+        # one-chunk-per-task a 4M-chunk table would schedule 4M tiny
+        # tasks; at local[1] it made 64 round-trips for 204 MB)
         par = df.sparkSession.sparkContext.defaultParallelism
-        floor_parts = 2 * max(par, 1)
+        floor_parts = 4 * max(par, 1)
         if size is not None:
-            floor_parts = max(floor_parts, math.ceil(size / (256 << 20)))
+            floor_parts = max(floor_parts, math.ceil(size / (128 << 20)))
         n_parts = max(1, min(num_chunks, floor_parts))
         staged = df.withColumn("_ck", ck).repartition(n_parts, "_ck")
         extra = {"num_chunks": num_chunks, "salt_block": salt_block,

@@ -19,17 +19,31 @@ sleep 4
 rm -f /tmp/pgs.zip
 zip -qr /tmp/pgs.zip parquet_go_spark -x "*__pycache__*"
 
+# N_CONV sizes the input (200k ≈ 1 GB, 400k ≈ 2 GB — bigger inputs
+# amortize the ~8 s fixed job floor that otherwise caps the measured
+# N→4N efficiency); REPS = samples per cell (best-of damps host
+# stalls); MODES selects the paths to run.
+N_CONV="${N_CONV:-200000}"
+REPS="${REPS:-1}"
+MODES="${MODES:-shuffle direct}"
+IN_DIR="/tmp/pgs_in_${N_CONV}"
+export IN_DIR N_CONV
+
 python - <<'EOF'
 import pyarrow.parquet as pq, os
 from parquet_go_spark.fixtures import make_transcripts
-os.makedirs("/tmp/pgs_in_1g", exist_ok=True)
-t = make_transcripts(200_000, seed=42)
-step = (t.num_rows+63)//64
-for i in range(0, t.num_rows, step):
-    pq.write_table(t.slice(i, step),
-                   f"/tmp/pgs_in_1g/p{i//step:04d}.parquet",
-                   row_group_size=1<<15)
-print("input rows:", t.num_rows)
+d = os.environ["IN_DIR"]
+if not os.path.isdir(d) or not os.listdir(d):
+    os.makedirs(d, exist_ok=True)
+    t = make_transcripts(int(os.environ["N_CONV"]), seed=42)
+    step = (t.num_rows+63)//64
+    for i in range(0, t.num_rows, step):
+        pq.write_table(t.slice(i, step),
+                       f"{d}/p{i//step:04d}.parquet",
+                       row_group_size=1<<15)
+    print("input rows:", t.num_rows)
+else:
+    print("input reused:", d)
 EOF
 
 TUNE="--conf spark.shuffle.compress=false \
@@ -37,15 +51,17 @@ TUNE="--conf spark.shuffle.compress=false \
       --conf spark.local.dir=/dev/shm/spark-tmp \
       --conf spark.sql.execution.arrow.maxRecordsPerBatch=65536 \
       --conf spark.sql.shuffle.partitions=128"
-for MODE in shuffle direct; do
+for MODE in $MODES; do
   for N in 1 4; do
-    rm -rf "/tmp/pgs_out_cluster_${MODE}_$N"
-    echo "mode=$MODE cores=$N"
-    /opt/spark/bin/spark-submit --master spark://127.0.0.1:7077 \
-      --executor-cores 1 --executor-memory 4g --total-executor-cores "$N" \
-      $TUNE --py-files /tmp/pgs.zip scripts/submit_job.py \
-      /tmp/pgs_in_1g "/tmp/pgs_out_cluster_${MODE}_$N" 128 "$MODE" \
-      2>/dev/null | tail -1
+    for REP in $(seq 1 "$REPS"); do
+      rm -rf "/tmp/pgs_out_cluster_${MODE}_${N}_${REP}"
+      echo "mode=$MODE cores=$N rep=$REP"
+      /opt/spark/bin/spark-submit --master spark://127.0.0.1:7077 \
+        --executor-cores 1 --executor-memory 4g --total-executor-cores "$N" \
+        $TUNE --py-files /tmp/pgs.zip scripts/submit_job.py \
+        "$IN_DIR" "/tmp/pgs_out_cluster_${MODE}_${N}_${REP}" 128 "$MODE" \
+        2>/dev/null | tail -1
+    done
   done
 done
 

@@ -36,6 +36,34 @@ def main() -> int:
     from parquet_go_spark import table
 
     df = spark.read.parquet(src)
+    if mode == "scanonly":
+        # control cell: the fixed job floor (scheduling, scan, shuffle
+        # write/read, Arrow JVM->Python round-trip, python-worker
+        # startup) WITHOUT the codec kernels — subtracting it from the
+        # encode cells isolates the engine's own scaling
+        import pyarrow as pa
+        from pyspark.sql import functions as F
+
+        def passthru(batches):
+            n = 0
+            for b in batches:
+                n += b.num_rows
+            yield pa.RecordBatch.from_pydict(
+                {"n": pa.array([n], pa.int64())}
+            )
+
+        t0 = time.time()
+        staged = df.withColumn(
+            "_ck", F.pmod(F.xxhash64("conv_id"), F.lit(num_chunks))
+        ).repartition(2 * spark.sparkContext.defaultParallelism, "_ck")
+        n = staged.mapInArrow(passthru, "n long").agg(
+            F.sum("n")).collect()[0][0]
+        t_floor = time.time() - t0
+        print(json.dumps({"n_rows": n, "floor_s": round(t_floor, 2),
+                          "executors":
+                              spark.sparkContext.defaultParallelism}))
+        spark.stop()
+        return 0
     t0 = time.time()
     if mode == "direct":
         import glob
