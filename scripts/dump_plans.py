@@ -92,15 +92,17 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
 
     df = spark.read.parquet(f"{SF}/lineitem.parquet")
-    ck = F.pmod(F.xxhash64("l_orderkey", F.lit(0)), F.lit(8))
-    staged = (
-        df.withColumn("_ck", ck)
-        .repartition(8, "_ck")
-        .sortWithinPartitions("_ck", "l_orderkey", "l_linenumber")
+    # the REAL staged plan (kernel-side sort, task/chunk decoupling)
+    import tempfile
+
+    from parquet_go_spark.table import _stage_encode
+    staged, _ = _stage_encode(
+        df, tempfile.mkdtemp(), ("l_orderkey", "l_linenumber"), 8,
+        262_144, 65_536, None, False, None, "", (), True,
     )
 
     plans = [
-        ("encode_staged", "Encode path: scan → hash-chunk exchange → sort → encode UDF",
+        ("encode_staged", "Encode path: scan → hash-chunk exchange → encode UDF",
          staged),
         ("decode_read_table", "Decode path: manifest-pruned chunk list → MapInArrow",
          Q.q_decode_chunks(spark, SF)),
