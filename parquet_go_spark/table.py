@@ -529,12 +529,17 @@ def write_table_direct(
     chunk_prefix: str = "",
     append: bool = False,
     bloom_cols: tuple[str, ...] = (),
+    distributed_commit: bool | None = None,
 ) -> dict:
     """Direct-path encode for pre-grouped input: each chunk = one group
     of input parquet files, read INSIDE the task with pyarrow (no JVM
     scan, no shuffle, no Arrow JVM→Python transfer — only file paths
     cross the boundary). Chunk ids follow the sorted input listing, so
-    resume requires a stable listing (same caveat as locality mode)."""
+    resume requires a stable listing (same caveat as locality mode).
+
+    ``distributed_commit``: same semantics as write_table — manifest
+    shards written by tasks, driver commits O(shards) summaries; auto
+    above DISTRIBUTED_MANIFEST_MIN_CHUNKS for fresh commits."""
     from .encode import make_direct_encode_fn
 
     files = sorted(input_files)
@@ -549,14 +554,35 @@ def write_table_direct(
     ).repartition(par)
     fn = make_direct_encode_fn(table_dir, key_cols, overrides, resume,
                                bloom_cols)
-    entry_rows = files_df.mapInArrow(
+    entries_df = files_df.mapInArrow(
         fn, "chunk_id string, entry_json string"
-    ).collect()
-    entries = [json.loads(r.entry_json) for r in entry_rows]
+    )
     schema_ddl = spark.read.parquet(files[0]).schema.json()
+    extra = {"mode": "direct", "key_cols": list(key_cols)}
+    if distributed_commit is None:
+        distributed_commit = (
+            not append and len(groups) >= DISTRIBUTED_MANIFEST_MIN_CHUNKS
+        )
+    if distributed_commit:
+        if append:
+            raise ValueError(
+                "distributed_commit supports fresh commits only"
+            )
+        refs = _write_shards_distributed(entries_df, table_dir)
+        snapshot = manifest.commit_shards(
+            table_dir, refs, schema_ddl=schema_ddl, extra=extra,
+        )
+        return {
+            "snapshot_id": snapshot,
+            "n_chunks": sum(r["n_chunks"] for r in refs),
+            "n_rows": sum(r["n_rows"] for r in refs),
+            "raw_bytes": sum(r["raw_bytes"] for r in refs),
+            "enc_bytes": sum(r["enc_bytes"] for r in refs),
+            "reused_chunks": sum(r["reused_chunks"] for r in refs),
+        }
+    entries = [json.loads(r.entry_json) for r in entries_df.collect()]
     snapshot = manifest.commit(
-        table_dir, entries, schema_ddl=schema_ddl,
-        extra={"mode": "direct", "key_cols": list(key_cols)},
+        table_dir, entries, schema_ddl=schema_ddl, extra=extra,
         append=append,
     )
     return {

@@ -966,3 +966,35 @@ def test_distributed_column_stats_matches_driver(spark, tmp_path):
     via_tasks = table.column_stats(out, "conv_id", spark=spark)
     assert via_tasks == via_driver
     assert via_tasks["count"] == 20_000 * 10 + df.count()
+
+
+def test_direct_path_distributed_commit(spark, tmp_path):
+    """write_table_direct with distributed_commit: shard files written
+    by tasks, snapshot equivalent to the driver commit, round-trip
+    intact."""
+    import pyarrow.parquet as pq
+
+    from parquet_go_spark.fixtures import make_transcripts
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    t = make_transcripts(100, seed=9)
+    step = (t.num_rows + 3) // 4
+    for i in range(0, t.num_rows, step):
+        pq.write_table(t.slice(i, step), f"{src}/f{i//step}.parquet")
+    files = sorted(glob.glob(os.path.join(src, "*.parquet")))
+    out_a = str(tmp_path / "a")
+    out_b = str(tmp_path / "b")
+    ia = table.write_table_direct(spark, files, out_a)
+    ib = table.write_table_direct(spark, files, out_b,
+                                  distributed_commit=True)
+    assert (ia["n_chunks"], ia["n_rows"], ia["enc_bytes"]) == \
+        (ib["n_chunks"], ib["n_rows"], ib["enc_bytes"])
+    la, lb = manifest.load(out_a), manifest.load(out_b)
+    assert {e["chunk_id"]: e["data_crc"] for e in la["entries"]} == \
+        {e["chunk_id"]: e["data_crc"] for e in lb["entries"]}
+    df = spark.read.parquet(src)
+    back = table.read_table(spark, out_b)
+    assert table.verify_roundtrip(df, back, ("conv_id", "turn_idx"))[
+        "identical"
+    ]
