@@ -654,6 +654,13 @@ def content_crc(arr: pa.Array, crc: int = 0) -> int:
         buf = a.buffers()[1]
         raw = np.frombuffer(buf, np.uint8)[a.offset * 16 : (a.offset + len(a)) * 16]
         return zlib.crc32(np.ascontiguousarray(raw), crc)
+    if dt == _DT_FSB:
+        a = arr.drop_null() if arr.null_count else arr
+        w = a.type.byte_width
+        raw = np.frombuffer(a.buffers()[1], np.uint8)[
+            a.offset * w : (a.offset + len(a)) * w
+        ]
+        return zlib.crc32(np.ascontiguousarray(raw), crc)
     if dt in (_DT_LIST_F32, _DT_LIST_F64):
         lengths, flat = _list_parts(arr)
         crc = zlib.crc32(np.ascontiguousarray(lengths), crc)

@@ -98,3 +98,53 @@ def test_uint64_wrap_safe(vals):
     _roundtrip(arr)
     for c in ("plain", "for", "pfor", "deltap"):
         _roundtrip(arr, (c, "none"))
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.one_of(st.none(), st.binary(min_size=16, max_size=16)),
+                max_size=120))
+def test_fixed_size_binary(vals):
+    _roundtrip(pa.array(vals, pa.binary(16)))
+    _roundtrip(pa.array(vals, pa.binary(16)), ("plain", "zstd"))
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(
+    st.one_of(st.none(),
+              st.integers(min_value=-(10**37), max_value=10**37)),
+    max_size=120,
+))
+def test_wide_decimal38(vals):
+    import decimal
+
+    dv = [None if v is None else decimal.Decimal(v) for v in vals]
+    _roundtrip(pa.array(dv, pa.decimal128(38, 0)))
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(
+    st.one_of(
+        st.none(),
+        st.lists(
+            st.one_of(
+                st.none(),
+                st.fixed_dictionaries(
+                    {"name": st.one_of(st.none(), st.text(max_size=10)),
+                     "v": st.one_of(st.none(), SMALL)}
+                ),
+            ),
+            max_size=5,
+        ),
+    ),
+    max_size=50,
+))
+def test_list_of_struct_generic_codec(vals):
+    """list<struct> through the generic recursive codec (the shredded
+    path is exercised by the Spark-level tests; this pins the blob
+    container round-trip for the same shape incl. null lists and null
+    elements)."""
+    arr = pa.array(
+        vals,
+        pa.list_(pa.struct([("name", pa.string()), ("v", pa.int64())])),
+    )
+    _roundtrip(arr)
