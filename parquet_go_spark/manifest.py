@@ -195,61 +195,94 @@ def commit(table_dir: str, entries: list[dict], schema_ddl: str,
             pass
 
 
-def _commit_locked(table_dir: str, entries: list[dict], schema_ddl: str,
-                   extra: dict | None = None, append: bool = False) -> int:
-    prev = load(table_dir)
-    snapshot_id = (prev["snapshot_id"] + 1) if prev else 0
-    prev_by_shard: dict[str, list[dict]] = (
-        _group_by_shard(prev["entries"]) if prev else {}
-    )
-    prev_files = {
-        ref["shard"]: ref
-        for ref in (prev.get("manifest_shards") or [] if prev else [])
+def _shard_totals(ents: list[dict]) -> dict:
+    return {
+        "n_chunks": len(ents),
+        "n_rows": sum(e["n_rows"] for e in ents),
+        "raw_bytes": sum(e["raw_bytes"] for e in ents),
+        "enc_bytes": sum(e["enc_bytes"] for e in ents),
     }
 
-    new_by_shard = _group_by_shard(entries)
-    if append and prev:
-        final: dict[str, list[dict]] = dict(prev_by_shard)
-        for shard, ents in new_by_shard.items():
-            merged = {e["chunk_id"]: e for e in prev_by_shard.get(shard, [])}
-            for e in ents:
-                merged[e["chunk_id"]] = e
-            final[shard] = sorted(merged.values(),
-                                  key=lambda e: e["chunk_id"])
-    else:
-        final = new_by_shard
 
-    shard_refs = []
-    n_rows = raw = enc = n_chunks = 0
-    for shard in sorted(final):
-        ents = final[shard]
+def _read_shard(table_dir: str, ref: dict) -> list[dict]:
+    with open(os.path.join(table_dir, ref["file"])) as f:
+        return json.load(f)["entries"]
+
+
+def _commit_locked(table_dir: str, entries: list[dict], schema_ddl: str,
+                   extra: dict | None = None, append: bool = False) -> int:
+    """Shard-incremental commit: only the shards this commit TOUCHES
+    are read and rewritten. Untouched shards on append carry their
+    file AND their per-shard totals forward (refs store
+    n_rows/raw/enc, so listing totals are O(shards) sums) — the driver
+    never materializes the full entry list. At the 10¹²-turn frame a
+    streaming micro-batch commit therefore reads O(batch) manifest
+    bytes, not O(table); refs written before totals existed are
+    enriched lazily (one shard read each, once)."""
+    prev = load_refs(table_dir)
+    snapshot_id = (prev["snapshot_id"] + 1) if prev else 0
+    new_by_shard = _group_by_shard(entries)
+    prev_refs: dict[str, dict] = {}
+    if prev is not None and prev.get("manifest_shards") is not None:
+        prev_refs = {r["shard"]: dict(r) for r in prev["manifest_shards"]}
+    elif prev is not None and append:
+        # pre-0.2 single-file parent: merge its entries wholesale (no
+        # shard files to reuse) — one-time legacy cost
+        base = _group_by_shard(_read_entries(table_dir, prev))
+        for shard, ents in base.items():
+            cur = {e["chunk_id"]: e for e in ents}
+            for e in new_by_shard.get(shard, []):
+                cur[e["chunk_id"]] = e
+            new_by_shard[shard] = sorted(cur.values(),
+                                         key=lambda e: e["chunk_id"])
+
+    shard_refs: list[dict] = []
+    if append:
+        for shard, ref in prev_refs.items():
+            if shard in new_by_shard:
+                continue  # touched: merged below
+            if "n_rows" not in ref:  # pre-totals ref: enrich once
+                ref.update(_shard_totals(_read_shard(table_dir, ref)))
+            shard_refs.append(ref)
+    for shard in sorted(new_by_shard):
+        ents = new_by_shard[shard]
         if not ents:
             continue
-        n_chunks += len(ents)
-        n_rows += sum(e["n_rows"] for e in ents)
-        raw += sum(e["raw_bytes"] for e in ents)
-        enc += sum(e["enc_bytes"] for e in ents)
-        if (shard in prev_files
-                and prev_by_shard.get(shard) == ents):
-            ref = dict(prev_files[shard])  # unchanged → reuse the file
-        else:
+        reused = False
+        if shard in prev_refs:
+            parent_ents = _read_shard(table_dir, prev_refs[shard])
+            if append:
+                merged = {e["chunk_id"]: e for e in parent_ents}
+                for e in ents:
+                    merged[e["chunk_id"]] = e
+                ents = sorted(merged.values(),
+                              key=lambda e: e["chunk_id"])
+            if ents == parent_ents:  # idempotent replay / no-op shard
+                ref = dict(prev_refs[shard])
+                if "n_rows" not in ref:
+                    ref.update(_shard_totals(parent_ents))
+                shard_refs.append(ref)
+                reused = True
+        if not reused:
             fname = f"manifest-{snapshot_id}-{shard or 'root'}.json"
             fpath = os.path.join(table_dir, "_manifests", fname)
             _atomic_write_json(fpath, {"entries": ents})
-            ref = {"shard": shard,
-                   "file": os.path.relpath(fpath, table_dir),
-                   "n_chunks": len(ents)}
-        shard_refs.append(ref)
+            shard_refs.append({
+                "shard": shard,
+                "file": os.path.relpath(fpath, table_dir),
+                **_shard_totals(ents),
+            })
 
+    shard_refs.sort(key=lambda r: r["shard"])
     listing = {
         "snapshot_id": snapshot_id,
         "engine": ENGINE_VERSION,
         "schema_ddl": schema_ddl,
         "manifest_shards": shard_refs,
-        "n_chunks": n_chunks,
-        "n_rows": n_rows,
-        "raw_bytes": raw,
-        "enc_bytes": enc,
+        "n_chunks": sum(r["n_chunks"] for r in shard_refs),
+        "n_rows": sum(r["n_rows"] for r in shard_refs),
+        "raw_bytes": sum(r["raw_bytes"] for r in shard_refs),
+        "enc_bytes": sum(r["enc_bytes"] for r in shard_refs),
         "extra": extra or {},
         "parent_snapshot_id": prev["snapshot_id"] if prev else None,
     }
@@ -338,9 +371,12 @@ def commit_shards(table_dir: str, shard_refs: list[dict],
     try:
         prev = load_refs(table_dir)
         snapshot_id = (prev["snapshot_id"] + 1) if prev else 0
+        # refs keep per-shard totals: later APPEND commits carry
+        # untouched shards forward without reading their files
         refs = [
             {"shard": r["shard"], "file": r["file"],
-             "n_chunks": r["n_chunks"]}
+             "n_chunks": r["n_chunks"], "n_rows": r["n_rows"],
+             "raw_bytes": r["raw_bytes"], "enc_bytes": r["enc_bytes"]}
             for r in sorted(shard_refs, key=lambda r: r["shard"])
         ]
         listing = {

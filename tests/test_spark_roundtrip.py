@@ -998,3 +998,39 @@ def test_direct_path_distributed_commit(spark, tmp_path):
     assert table.verify_roundtrip(df, back, ("conv_id", "turn_idx"))[
         "identical"
     ]
+
+
+def test_append_commit_reads_only_touched_shards(spark, tmp_path,
+                                                 monkeypatch):
+    """Streaming micro-batch commits must be O(batch) on the READ side
+    too: an append that touches one shard namespace reads only that
+    shard's parent file; untouched shards carry file + per-shard totals
+    forward from the refs."""
+    df = make_transcripts_df(spark, n_conv=40, seed=31)
+    out = str(tmp_path / "tbl")
+    table.write_table(df, out, num_chunks=2, chunk_prefix="aa-")
+    table.write_table(df.limit(60), out, num_chunks=1, chunk_prefix="bb-",
+                      append=True)
+    l1 = manifest.load(out)
+    assert {r["shard"] for r in l1["manifest_shards"]} == {"aa-00", "bb-00"}
+    assert all("n_rows" in r for r in l1["manifest_shards"])
+
+    read_files = []
+    orig = manifest._read_shard
+
+    def spy(table_dir, ref):
+        read_files.append(ref["file"])
+        return orig(table_dir, ref)
+
+    monkeypatch.setattr(manifest, "_read_shard", spy)
+    table.write_table(df.limit(25), out, num_chunks=1, chunk_prefix="bb-",
+                      append=True)
+    assert read_files and all("-bb-00" in f for f in read_files), \
+        read_files  # aa- untouched
+    l2 = manifest.load(out)
+    # totals correct without any full-table materialization at commit
+    # the second bb- append reuses chunk id bb-000000 → same-id
+    # override replaces the 60-row chunk with the 25-row one
+    assert l2["n_rows"] == df.count() + 25
+    back = table.read_table(spark, out)
+    assert back.count() == l2["n_rows"]
