@@ -1034,3 +1034,40 @@ def test_append_commit_reads_only_touched_shards(spark, tmp_path,
     assert l2["n_rows"] == df.count() + 25
     back = table.read_table(spark, out)
     assert back.count() == l2["n_rows"]
+
+
+def test_concurrent_appends_both_land(spark, tmp_path):
+    """Two appenders racing the commit lock must serialize: both
+    batches' chunks appear in the final snapshot (no lost-entry merge)
+    and the decoded table holds every row."""
+    import threading
+
+    df = make_transcripts_df(spark, n_conv=30, seed=61)
+    out = str(tmp_path / "tbl")
+    table.write_table(df, out, num_chunks=2, chunk_prefix="base-")
+    n0 = df.count()
+
+    # build two disjoint batches via distinct conv prefixes
+    import pyspark.sql.functions as F
+    b1 = make_transcripts_df(spark, n_conv=10, seed=71) \
+        .withColumn("conv_id", F.concat(F.lit("x1-"), F.col("conv_id")))
+    b2 = make_transcripts_df(spark, n_conv=10, seed=72) \
+        .withColumn("conv_id", F.concat(F.lit("x2-"), F.col("conv_id")))
+    errs = []
+
+    def appender(bdf, prefix):
+        try:
+            table.write_table(bdf, out, num_chunks=1,
+                              chunk_prefix=prefix, append=True)
+        except Exception as ex:  # pragma: no cover
+            errs.append(ex)
+
+    t1 = threading.Thread(target=appender, args=(b1, "x1-"))
+    t2 = threading.Thread(target=appender, args=(b2, "x2-"))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert not errs, errs
+    listing = manifest.load(out)
+    prefixes = {e["chunk_id"].split("-")[0] for e in listing["entries"]}
+    assert prefixes == {"base", "x1", "x2"}
+    assert listing["n_rows"] == n0 + b1.count() + b2.count()
+    assert table.read_table(spark, out).count() == listing["n_rows"]
