@@ -12,6 +12,7 @@ strategy, and what changes at 1000 executors.
 
 from __future__ import annotations
 
+import math
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -103,25 +104,27 @@ def dedup_ngram_jaccard(spark, sf_dir, threshold_num=3, threshold_den=10,
     )
 
 
-def dedup_components(spark, sf_dir, threshold_num=3, threshold_den=10,
-                     max_iters: int = 20):
-    """Near-dup clustering: connected components over the exact-Jaccard
-    pair graph, so each duplicate cluster keeps ONE canonical document
-    (min doc_id). Iterative min-label propagation — each round is a
-    join + min-aggregate on (doc_id,label) pairs, converging in
-    O(component diameter) rounds (dup clusters are shallow; at corpus
-    scale checkpoint every few rounds to cut the lineage). Singleton
-    documents keep their own id as the component."""
-    docs = _documents(spark, sf_dir).select("doc_id")
-    pairs = dedup_ngram_jaccard(
-        spark, sf_dir, threshold_num, threshold_den
-    ).select("doc_a", "doc_b")
-    edges = pairs.unionByName(
-        pairs.select(F.col("doc_b").alias("doc_a"),
-                     F.col("doc_a").alias("doc_b"))
-    ).cache()
-    labels = docs.select("doc_id", F.col("doc_id").alias("component")).cache()
-    for _ in range(max_iters):
+COMPONENTS_CHECKPOINT_EVERY = 5
+
+
+def min_label_components(nodes: DataFrame, edges: DataFrame,
+                         max_iters: int = 20) -> DataFrame:
+    """Connected components by iterative min-label propagation: each
+    round is a join + min-aggregate on (doc_id,label) pairs, converging
+    in O(component diameter) rounds. ``localCheckpoint(eager=True)``
+    every COMPONENTS_CHECKPOINT_EVERY rounds truncates the lineage —
+    without it 20 cached join+agg rounds stack into a plan whose
+    analysis/serialization cost (and recovery re-computation) grows
+    per round, a real cliff on deep components at corpus scale.
+    Singleton nodes keep their own id as the component.
+
+    ``nodes``: one column ``doc_id``; ``edges``: directed pairs
+    (doc_a, doc_b) — pass both directions for an undirected graph."""
+    labels = nodes.select(
+        "doc_id", F.col("doc_id").alias("component")
+    ).localCheckpoint(eager=True)
+    edges = edges.localCheckpoint(eager=True)
+    for it in range(max_iters):
         neighbor_min = (
             edges.join(labels, edges.doc_b == labels.doc_id)
             .groupBy(F.col("doc_a").alias("doc_id"))
@@ -135,8 +138,11 @@ def dedup_components(spark, sf_dir, threshold_num=3, threshold_den=10,
                         F.coalesce(F.col("n_min"), F.col("component")))
                 .alias("component"),
             )
-            .cache()
         )
+        if (it + 1) % COMPONENTS_CHECKPOINT_EVERY == 0:
+            updated = updated.localCheckpoint(eager=True)
+        else:
+            updated = updated.cache()
         changed = (
             updated.alias("u")
             .join(labels.alias("l"), "doc_id")
@@ -148,6 +154,24 @@ def dedup_components(spark, sf_dir, threshold_num=3, threshold_den=10,
         if changed == 0:
             break
     return labels.select("doc_id", "component")
+
+
+def dedup_components(spark, sf_dir, threshold_num=3, threshold_den=10,
+                     max_iters: int = 20):
+    """Near-dup clustering: connected components over the exact-Jaccard
+    pair graph, so each duplicate cluster keeps ONE canonical document
+    (min doc_id). Delegates to ``min_label_components`` (checkpointed
+    min-label propagation; dup clusters are shallow, so the default 20
+    rounds cover realistic diameters)."""
+    docs = _documents(spark, sf_dir).select("doc_id")
+    pairs = dedup_ngram_jaccard(
+        spark, sf_dir, threshold_num, threshold_den
+    ).select("doc_a", "doc_b")
+    edges = pairs.unionByName(
+        pairs.select(F.col("doc_b").alias("doc_a"),
+                     F.col("doc_a").alias("doc_b"))
+    )
+    return min_label_components(docs, edges, max_iters)
 
 
 N_MINHASH = 32
@@ -322,38 +346,53 @@ def dedup_embedding_exact(spark, sf_dir, threshold: float = 0.42):
     )
 
 
-DEDUP_EMB_PLANES = 2
+DEDUP_EMB_PLANES = 2       # floor — the effective count scales with n
+DEDUP_EMB_MAX_PLANES = 16
 DEDUP_EMB_TABLES = 16
+EMB_TARGET_BUCKET = 256    # plane count chosen so E[bucket] ≈ this
+EMB_BUCKET_CAP = 512       # buckets wider than this go STAR, not all-pairs
 
 
-def dedup_embedding(spark, sf_dir, threshold: float = 0.42):
-    """Embedding-cosine near-dup pairs: LSH blocking + exact rerank.
+def _emb_planes_for(n_vectors: int) -> int:
+    """Effective hyperplane count: enough bits that the EXPECTED bucket
+    holds ~EMB_TARGET_BUCKET vectors (2^planes buckets per table), with
+    DEDUP_EMB_PLANES as the floor. A fixed 2-plane config means 4
+    buckets per table FOREVER — at corpus scale each bucket holds n/4
+    vectors and the same-bucket join IS the crossJoin it claims to
+    replace, just 4x cheaper."""
+    if n_vectors <= 0:
+        return DEDUP_EMB_PLANES
+    need = math.ceil(math.log2(max(1, n_vectors / EMB_TARGET_BUCKET)))
+    return max(DEDUP_EMB_PLANES, min(DEDUP_EMB_MAX_PLANES, need))
 
-    Multi-table random-hyperplane signatures (seeded, vectorized numpy)
-    bucket the vectors; candidate pairs come only from same-bucket
-    collisions; the exact round(cos, 6) ≥ threshold test then reranks,
-    so false positives are impossible and only an LSH miss could drop a
-    pair. 2 planes × 16 tables puts the per-pair miss probability at
-    (1-θ/π)²-collision ≈ (0.59)^16 ≈ 2·10⁻⁴ even at this low 0.42
-    threshold (verified exhaustively vs dedup_embedding_exact in
-    pytest and against the brute-force SQL oracle at sf0.01). At
-    production near-dup thresholds (≥0.9) raise the plane count for
-    smaller buckets. Shuffle cost: O(n·tables) signature rows instead
-    of the crossJoin's O(n²)."""
-    emb = _embeddings(spark, sf_dir)
+
+def _emb_candidates(emb: DataFrame, n_planes: int,
+                    bucket_cap: int = EMB_BUCKET_CAP) -> DataFrame:
+    """LSH candidate pairs (id_a, id_b, ea, eb) from multi-table
+    random-hyperplane buckets, with the same HOT-BUCKET CAP discipline
+    as ``dedup_minhash_lsh``: buckets wider than ``bucket_cap`` emit a
+    STAR through the bucket's min vec_id — O(k) pairs instead of the
+    O(k²) a k-duplicate megacluster would otherwise materialize inside
+    one task. Star pairs still go through the exact rerank, so emitted
+    pairs are never false positives; within a giant bucket, non-rep
+    pairs lose their direct candidate edge (harmless for dedup — the
+    downstream connected components link them through the rep, and a
+    >cap bucket at the adaptive plane count means near-identical
+    directions)."""
 
     def signature(batches):
         import numpy as np
         import pandas as pd
 
         rng = np.random.default_rng(7)
-        planes = rng.standard_normal((DEDUP_EMB_TABLES, 64, DEDUP_EMB_PLANES))
+        planes = rng.standard_normal((DEDUP_EMB_TABLES, 64, n_planes))
+        weights = 1 << np.arange(n_planes)
         for pdf in batches:
             m = np.stack(pdf["embedding"].to_numpy())
             frames = []
             for t in range(DEDUP_EMB_TABLES):
                 bits = (m @ planes[t]) > 0
-                bucket = (bits * (1 << np.arange(DEDUP_EMB_PLANES))).sum(axis=1)
+                bucket = (bits * weights).sum(axis=1)
                 frames.append(
                     pd.DataFrame(
                         {
@@ -369,22 +408,71 @@ def dedup_embedding(spark, sf_dir, threshold: float = 0.42):
     sig = emb.mapInPandas(
         signature, "vec_id long, tbl int, bucket long, embedding array<float>"
     )
-    cand = (
-        sig.alias("a")
-        .join(sig.alias("b"), ["tbl", "bucket"])
+    sizes = sig.groupBy("tbl", "bucket").agg(
+        F.count("*").alias("_bsz"), F.min("vec_id").alias("_rep")
+    )
+    tagged = sig.join(sizes, ["tbl", "bucket"])
+    small = tagged.filter(F.col("_bsz") <= bucket_cap)
+    pairs_small = (
+        small.alias("a")
+        .join(small.alias("b"), ["tbl", "bucket"])
         .filter(F.col("a.vec_id") < F.col("b.vec_id"))
         .select(
             F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"),
             F.col("a.embedding").alias("ea"), F.col("b.embedding").alias("eb"),
         )
+    )
+    # star members carry their own embedding; the (few) reps' embeddings
+    # arrive via one more join keyed on the rep id
+    star_members = (
+        tagged.filter((F.col("_bsz") > bucket_cap)
+                      & (F.col("vec_id") != F.col("_rep")))
+        .select(F.col("_rep").alias("id_a"),
+                F.col("vec_id").alias("id_b"),
+                F.col("embedding").alias("eb"))
+    )
+    reps = emb.select(F.col("vec_id").alias("id_a"),
+                      F.col("embedding").alias("ea"))
+    pairs_star = star_members.join(reps, "id_a").select(
+        "id_a", "id_b", "ea", "eb"
+    )
+    return (
+        pairs_small.unionByName(pairs_star)
         .groupBy("id_a", "id_b")  # a pair can collide in several tables
         .agg(F.first("ea").alias("ea"), F.first("eb").alias("eb"))
     )
+
+
+def dedup_embedding_df(emb: DataFrame, threshold: float = 0.42,
+                       bucket_cap: int = EMB_BUCKET_CAP) -> DataFrame:
+    """Embedding-cosine near-dup pairs: LSH blocking + exact rerank.
+
+    Multi-table random-hyperplane signatures (seeded, vectorized numpy)
+    bucket the vectors; candidate pairs come only from same-bucket
+    collisions (hot buckets star-capped, see ``_emb_candidates``); the
+    exact round(cos, 6) ≥ threshold test then reranks, so false
+    positives are impossible and only an LSH miss could drop a pair.
+    The plane count scales with corpus size (``_emb_planes_for``) so
+    E[bucket] stays ~EMB_TARGET_BUCKET; at the test scale (≤1k vectors)
+    that resolves to the same 2 planes × 16 tables verified exhaustively
+    vs dedup_embedding_exact in pytest and against the brute-force SQL
+    oracle at sf0.01 (per-pair miss ≈ (0.59)^16 ≈ 2·10⁻⁴ at the low
+    0.42 threshold). Shuffle cost: O(n·tables) signature rows instead
+    of the crossJoin's O(n²); per-task pair fan-out bounded by
+    bucket_cap² per bucket."""
+    n = emb.count()  # metadata-cheap on parquet; fixes the plane count
+    cand = _emb_candidates(emb, _emb_planes_for(n), bucket_cap)
     return (
         cand.withColumn("r_cos", F.round(_cos_expr(F.col("ea"), F.col("eb")), 6))
         .filter(F.col("r_cos") >= threshold)
         .select("id_a", "id_b", "r_cos")
     )
+
+
+def dedup_embedding(spark, sf_dir, threshold: float = 0.42):
+    """Registered entry point: ``dedup_embedding_df`` over the sf
+    embeddings table (see that docstring for semantics + scale notes)."""
+    return dedup_embedding_df(_embeddings(spark, sf_dir), threshold)
 
 
 N_HYPERPLANES = 4

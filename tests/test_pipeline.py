@@ -82,6 +82,71 @@ def test_dedup_embedding_blocked_matches_exact(spark):
     assert blocked == exact, (len(blocked), len(exact))
 
 
+def _near_dup_fixture(spark, n_cluster=3000, n_random=1000, dim=64):
+    """n_cluster near-identical vectors (one megacluster — the LSH
+    hot-bucket hazard) + n_random unrelated vectors; ids 0..n-1 with
+    the cluster first so its rep is the min id."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal(dim)
+    base /= np.linalg.norm(base)
+    cluster = base + 0.01 * rng.standard_normal((n_cluster, dim))
+    rand = rng.standard_normal((n_random, dim))
+    m = np.vstack([cluster, rand]).astype("float32")
+    pdf = pd.DataFrame(
+        {"vec_id": np.arange(n_cluster + n_random, dtype="int64"),
+         "embedding": list(m)}
+    )
+    return spark.createDataFrame(pdf)
+
+
+def test_dedup_embedding_hot_bucket_star_cap(spark):
+    """A k-duplicate megacluster must NOT fan out O(k²) candidate pairs:
+    buckets wider than EMB_BUCKET_CAP emit a star through the bucket
+    rep, so the candidate count stays linear-ish in n while the exact
+    rerank + connected components still recover the full cluster."""
+    n_cluster, n_random = 3000, 1000
+    emb = _near_dup_fixture(spark, n_cluster, n_random).cache()
+    n = n_cluster + n_random
+    n_planes = P._emb_planes_for(n)
+    assert n_planes > P.DEDUP_EMB_PLANES  # adaptive: 4000 vecs > 4 buckets
+    cand = P._emb_candidates(emb, n_planes).count()
+    # uncapped, the cluster alone is >= tables * k^2/2 = 72M pairs
+    assert cand < (n_cluster * n_cluster) // 4, cand
+    pairs = P.dedup_embedding_df(emb, threshold=0.9)
+    nodes = emb.select(F.col("vec_id").alias("doc_id"))
+    edges = pairs.select(F.col("id_a").alias("doc_a"),
+                         F.col("id_b").alias("doc_b"))
+    edges = edges.unionByName(
+        edges.select(F.col("doc_b").alias("doc_a"),
+                     F.col("doc_a").alias("doc_b")))
+    comp = {r["doc_id"]: r["component"]
+            for r in P.min_label_components(nodes, edges, 10).collect()}
+    assert all(comp[i] == 0 for i in range(n_cluster))  # one cluster, rep 0
+    emb.unpersist()
+
+
+def test_components_long_path_checkpointed(spark):
+    """min-label propagation over a diameter-15 path graph: converges,
+    and localCheckpoint bounds the plan depth (the returned frame's
+    lineage roots at a LogicalRDD scan, not 15 stacked join rounds)."""
+    n = 16
+    nodes = spark.range(n).select(F.col("id").alias("doc_id"))
+    fwd = spark.range(n - 1).select(
+        F.col("id").alias("doc_a"), (F.col("id") + 1).alias("doc_b"))
+    edges = fwd.unionByName(
+        fwd.select(F.col("doc_b").alias("doc_a"),
+                   F.col("doc_a").alias("doc_b")))
+    labels = P.min_label_components(nodes, edges, max_iters=40)
+    comp = {r["doc_id"]: r["component"] for r in labels.collect()}
+    assert comp == {i: 0 for i in range(n)}
+    plan = labels._jdf.queryExecution().optimizedPlan().toString()
+    assert "ExistingRDD" in plan  # checkpoint truncated the lineage
+    assert len(plan) < 25_000, len(plan)
+
+
 def test_simhash_jvm_matches_numpy_reference(spark):
     """The JVM bit-vote aggregation must reproduce the classic numpy
     fold over the same xxhash64 token hashes."""
