@@ -149,29 +149,55 @@ def _acquire_commit_lock(table_dir: str, timeout: float):
     path = os.path.join(table_dir, "_commit.lock")
     os.makedirs(table_dir, exist_ok=True)
     deadline = _t.monotonic() + timeout
+    first = True
     while True:
+        # EVERY blocked iteration honors the deadline and backs off —
+        # the claim/vanish retry paths below all loop back through here,
+        # so lock churn cannot busy-spin or outlive ``timeout``
+        if not first:
+            if _t.monotonic() >= deadline:
+                raise CommitConflict(
+                    f"commit lock {path} held by another writer"
+                )
+            _t.sleep(0.05)
+        first = False
         try:
             fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
             os.write(fd, f"{os.getpid()} {_t.time()}".encode())
             os.close(fd)
             return path
         except FileExistsError:
+            pass
+        try:
+            # re-stat IMMEDIATELY before the claim: shrinks the window
+            # where a lock deleted-and-recreated fresh between stats
+            # could be stolen to two syscalls
+            if _t.time() - os.path.getmtime(path) <= _LOCK_TIMEOUT_S:
+                continue  # held and live — wait
+            # claim-by-rename: only ONE racer wins; losers get ENOENT
+            tomb = f"{path}.stale-{os.getpid()}-{_t.time_ns()}"
+            os.rename(path, tomb)
+        except OSError:
+            continue  # lock vanished / lost the claim race — retry
+        try:
+            stole_fresh = (
+                _t.time() - os.path.getmtime(tomb) <= _LOCK_TIMEOUT_S
+            )
+        except OSError:
+            stole_fresh = False
+        if stole_fresh:
+            # the rename grabbed a lock re-created fresh inside the
+            # two-syscall window: give it back (link fails EEXIST if a
+            # third writer already locked; that residual sliver is the
+            # documented remaining race)
             try:
-                age = _t.time() - os.path.getmtime(path)
-                if age > _LOCK_TIMEOUT_S:
-                    # claim-by-rename: only ONE racer wins the claim;
-                    # losers see FileNotFoundError and just retry
-                    tomb = f"{path}.stale-{os.getpid()}-{_t.time_ns()}"
-                    os.rename(path, tomb)
-                    os.unlink(tomb)
-                    continue
+                os.link(tomb, path)
             except OSError:
-                continue  # lock vanished / lost the claim race — retry
-            if _t.monotonic() >= deadline:
-                raise CommitConflict(
-                    f"commit lock {path} held by another writer"
-                ) from None
-            _t.sleep(0.05)
+                pass
+        try:
+            os.unlink(tomb)
+        except OSError:
+            pass
 
 
 def commit(table_dir: str, entries: list[dict], schema_ddl: str,
@@ -332,6 +358,18 @@ def load_refs(table_dir: str, snapshot_id: int | None = None) -> dict | None:
                        if k != "manifest_shards"}
             listing.update(snapshot_id=snapshot_id,
                            manifest=os.path.relpath(mpath, table_dir))
+            # the copied totals are the CURRENT snapshot's — recompute
+            # from the legacy manifest so count_rows() on a pre-0.2
+            # snapshot id is historical, not silently current (legacy
+            # single-file manifests are small; one read, this path only)
+            with open(mpath) as f:
+                ents = json.load(f)["entries"]
+            listing.update(
+                n_chunks=len(ents),
+                n_rows=sum(e["n_rows"] for e in ents),
+                raw_bytes=sum(e["raw_bytes"] for e in ents),
+                enc_bytes=sum(e["enc_bytes"] for e in ents),
+            )
         else:
             raise FileNotFoundError(
                 f"snapshot {snapshot_id} not found in {table_dir}"
@@ -429,6 +467,62 @@ def _snapshot_ids_on_disk(mdir: str) -> set[int]:
     return ids
 
 
+# an encode job's in-flight marker protects its uncommitted chunk files
+# from GC; markers older than this are crashed jobs and stop protecting
+INFLIGHT_TTL_S = 3600.0
+
+
+def begin_inflight(table_dir: str) -> str:
+    """Create an in-flight marker BEFORE any chunk file of an encode
+    job is written: expire_snapshots never deletes chunk files newer
+    than the oldest active marker, so a long-running encode whose
+    chunks land before another writer's later commit (or under clock
+    skew) cannot have them GC'd mid-job — the explicit protocol the
+    old 'newer than the last commit' mtime heuristic only approximated.
+    Crashed jobs stop protecting after INFLIGHT_TTL_S and their markers
+    are swept by the next expire."""
+    import uuid
+
+    d = os.path.join(table_dir, "_inflight")
+    os.makedirs(d, exist_ok=True)
+    path = os.path.join(d, f"job-{uuid.uuid4().hex[:12]}.json")
+    _atomic_write_json(path, {"pid": os.getpid()})
+    return path
+
+
+def end_inflight(marker: str) -> None:
+    try:
+        os.unlink(marker)
+    except OSError:
+        pass
+
+
+def _inflight_floor(table_dir: str) -> float:
+    """mtime of the OLDEST active in-flight marker, or +inf if none —
+    chunk files at/after this instant belong to running encode jobs."""
+    import time as _t
+
+    d = os.path.join(table_dir, "_inflight")
+    floor = float("inf")
+    if not os.path.isdir(d):
+        return floor
+    now = _t.time()
+    for fn in os.listdir(d):
+        p = os.path.join(d, fn)
+        try:
+            m = os.path.getmtime(p)
+        except OSError:
+            continue
+        if now - m > INFLIGHT_TTL_S:  # crashed job: sweep, don't protect
+            try:
+                os.unlink(p)
+            except OSError:
+                pass
+            continue
+        floor = min(floor, m)
+    return floor
+
+
 def expire_snapshots(table_dir: str, keep: int = 2,
                      lock_timeout: float = 30.0) -> dict:
     """Iceberg expire_snapshots parity: retain the latest ``keep``
@@ -473,15 +567,18 @@ def _expire_locked(table_dir: str, keep: int) -> dict:
             keep_shards.add(os.path.basename(listing["manifest"]))
         for e in listing["entries"]:
             keep_files.add(os.path.basename(e["file"]))
-    # in-flight protection: chunk files written after the current
-    # snapshot's commit belong to an uncommitted job (its commit is
-    # queued behind our lock) — never GC them
+    # in-flight protection: chunk files written at/after the oldest
+    # ACTIVE in-flight marker belong to a running encode job (see
+    # begin_inflight). The last-commit mtime stays as a secondary
+    # floor for writers predating the marker protocol.
     try:
         current_commit_mtime = os.path.getmtime(
             os.path.join(table_dir, "_manifest_list.json")
         )
     except OSError:
         current_commit_mtime = float("inf")
+    current_commit_mtime = min(current_commit_mtime,
+                               _inflight_floor(table_dir))
     deleted_chunks = 0
     cdir = os.path.join(table_dir, "chunks")
     if os.path.isdir(cdir):

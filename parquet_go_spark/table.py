@@ -35,9 +35,40 @@ DEFAULT_SALT_BLOCK = 65_536
 # (no extra Spark stage) and easier to debug.
 DISTRIBUTED_MANIFEST_MIN_CHUNKS = 4096
 
+# upsert_table's contract is O(touched batch) on the driver; above this
+# many touched chunks it is a de-facto full-table rewrite and the
+# driver-side touched-set collect/decode bookkeeping stops being cheap.
+UPSERT_MAX_TOUCHED_CHUNKS = 100_000
+
+# conservative in-memory row width (transcript shape ~250 B/row) used to
+# bound encode task sizes when Catalyst has no byte estimate
+EST_ROW_BYTES = 256
+
 
 TRANSCRIPT_DDL = ("conv_id string, turn_idx int, role string, "
                   "text string, tool string, ts timestamp")
+
+
+def _inflight_guard(pos: int):
+    """Bracket a chunk-writing op with an in-flight marker (see
+    manifest.begin_inflight): expire_snapshots spares chunk files newer
+    than any active marker, so a concurrent GC can never delete this
+    job's uncommitted chunks. ``pos`` = positional index of table_dir."""
+    import functools
+
+    def deco(fn):
+        @functools.wraps(fn)
+        def wrapper(*args, **kwargs):
+            table_dir = kwargs.get("table_dir") or args[pos]
+            marker = manifest.begin_inflight(table_dir)
+            try:
+                return fn(*args, **kwargs)
+            finally:
+                manifest.end_inflight(marker)
+
+        return wrapper
+
+    return deco
 
 
 def validate_schema(df: DataFrame, ddl: str = TRANSCRIPT_DDL) -> None:
@@ -62,6 +93,7 @@ def validate_schema(df: DataFrame, ddl: str = TRANSCRIPT_DDL) -> None:
         raise ValueError("schema contract violation: " + "; ".join(problems))
 
 
+@_inflight_guard(1)
 def write_table(
     df: DataFrame,
     table_dir: str,
@@ -189,6 +221,7 @@ def _stage_encode(
                 size = est
         except Exception:
             pass
+        n_rows = None
         if num_chunks is None:
             # prefer Catalyst's size estimate (no extra job); fall back
             # to an exact count. Both are deterministic for the same
@@ -198,8 +231,8 @@ def _stage_encode(
                 # transcript shape (~250 B/row)
                 num_chunks = max(1, math.ceil(size / (64 << 20)))
             else:
-                n = df.count()
-                num_chunks = max(1, math.ceil(n / rows_per_chunk))
+                n_rows = df.count()
+                num_chunks = max(1, math.ceil(n_rows / rows_per_chunk))
         if chunk_expr is not None:
             ck = F.pmod(chunk_expr.cast("long"), F.lit(num_chunks))
         else:
@@ -223,6 +256,17 @@ def _stage_encode(
         floor_parts = 4 * max(par, 1)
         if size is not None:
             floor_parts = max(floor_parts, math.ceil(size / (128 << 20)))
+        elif n_rows is not None:
+            # no Catalyst estimate (post-shuffle/UDF sources): bound the
+            # per-task working set from the exact count already taken
+            floor_parts = max(
+                floor_parts, math.ceil(n_rows * EST_ROW_BYTES / (128 << 20))
+            )
+        else:
+            # explicit num_chunks AND no size info at all: fall back to
+            # one chunk per task so tasks stay bounded at chunk size
+            # (the kernel materializes its whole partition via Arrow)
+            floor_parts = max(floor_parts, num_chunks)
         n_parts = max(1, min(num_chunks, floor_parts))
         staged = df.withColumn("_ck", ck).repartition(n_parts, "_ck")
         extra = {"num_chunks": num_chunks, "salt_block": salt_block,
@@ -433,6 +477,7 @@ def read_table(
     )
 
 
+@_inflight_guard(1)
 def compact(
     spark: SparkSession,
     table_dir: str,
@@ -518,6 +563,7 @@ def compact(
     }
 
 
+@_inflight_guard(2)
 def write_table_direct(
     spark: SparkSession,
     input_files: list[str],
@@ -685,6 +731,7 @@ def _predicate_cond(predicates: dict):
     return cond if cond is not None else F.lit(True)
 
 
+@_inflight_guard(1)
 def delete_rows(spark: SparkSession, table_dir: str,
                 predicates: dict) -> dict:
     """Row-level delete (Iceberg delete-with-rewrite parity): chunks
@@ -743,6 +790,7 @@ def delete_rows(spark: SparkSession, table_dir: str,
     }
 
 
+@_inflight_guard(1)
 def upsert_table(spark: SparkSession, table_dir: str,
                  df: DataFrame) -> dict:
     """Key-based upsert (the corrected-transcript case): rows in ``df``
@@ -780,10 +828,18 @@ def upsert_table(spark: SparkSession, table_dir: str,
         else F.lit(0)
     )
     ck = F.pmod(F.xxhash64(F.col(key_cols[0]), salt), F.lit(num_chunks))
-    touched = {
-        f"{r[0]:06d}"
-        for r in df.select(ck.alias("_ck")).distinct().collect()
-    }
+    touched_df = df.select(ck.alias("_ck")).distinct()
+    n_touched = touched_df.count()
+    if n_touched > UPSERT_MAX_TOUCHED_CHUNKS:
+        raise ValueError(
+            f"upsert touches {n_touched} chunks "
+            f"(> UPSERT_MAX_TOUCHED_CHUNKS={UPSERT_MAX_TOUCHED_CHUNKS}): "
+            "that is effectively a full-table rewrite whose touched-chunk "
+            "set no longer fits the O(batch) driver contract — re-encode "
+            "with write_table() (distributed commit) or compact() instead, "
+            "or raise UPSERT_MAX_TOUCHED_CHUNKS explicitly"
+        )
+    touched = {f"{r[0]:06d}" for r in touched_df.collect()}
     affected = [e for e in listing["entries"] if e["chunk_id"] in touched]
     schema = StructType(
         [StructField(f.name, f.dataType, True, f.metadata)

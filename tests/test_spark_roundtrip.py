@@ -1071,3 +1071,114 @@ def test_concurrent_appends_both_land(spark, tmp_path):
     assert prefixes == {"base", "x1", "x2"}
     assert listing["n_rows"] == n0 + b1.count() + b2.count()
     assert table.read_table(spark, out).count() == listing["n_rows"]
+
+
+def test_upsert_guard_rejects_full_table_rewrite(spark, transcripts,
+                                                 tmp_path, monkeypatch):
+    """An upsert whose touched-chunk set exceeds
+    UPSERT_MAX_TOUCHED_CHUNKS is a de-facto full-table rewrite — the
+    O(batch) driver contract no longer holds and the op must refuse
+    with a pointer to write_table()/compact() instead of silently
+    collecting an O(table) chunk set on the driver."""
+    out = str(tmp_path / "tbl")
+    table.write_table(transcripts, out, num_chunks=4)
+    patch = transcripts.limit(50).withColumn(
+        "text", __import__("pyspark").sql.functions.lit("rewritten"))
+    monkeypatch.setattr(table, "UPSERT_MAX_TOUCHED_CHUNKS", 1)
+    with pytest.raises(ValueError, match="UPSERT_MAX_TOUCHED_CHUNKS"):
+        table.upsert_table(spark, out, patch)
+    monkeypatch.undo()
+    res = table.upsert_table(spark, out, patch)
+    assert res["upserted_rows"] == 50
+
+
+def test_inflight_marker_protects_chunks_from_gc(spark, tmp_path):
+    """begin_inflight's marker protects a long-running encode's chunk
+    files even when they are OLDER than a later writer's commit (the
+    race the mtime-vs-last-commit heuristic missed); ending the job
+    releases them, and a crashed job's marker expires after
+    INFLIGHT_TTL_S."""
+    import time
+
+    df = make_transcripts_df(spark, n_conv=20, seed=77)
+    out = str(tmp_path / "tbl")
+    table.write_table(df, out, num_chunks=2)
+    # long-running job: marker FIRST, then its chunk file, then another
+    # writer commits (bumping _manifest_list.json's mtime past both)
+    marker = manifest.begin_inflight(out)
+    t_marker = time.time() - 1800  # long-running but within INFLIGHT_TTL_S
+    os.utime(marker, (t_marker, t_marker))
+    slow_chunk = os.path.join(out, "chunks", "chunk-slowjob.parquet")
+    with open(slow_chunk, "wb") as f:
+        f.write(b"PAR1fake")
+    os.utime(slow_chunk, (t_marker + 100, t_marker + 100))
+    table.write_table(df.limit(10), out, num_chunks=1,
+                      chunk_prefix="later-", append=True)
+    res = manifest.expire_snapshots(out, keep=1)
+    assert os.path.exists(slow_chunk), res  # marker floor protected it
+    # job finishes (without committing that chunk) → GC may collect
+    manifest.end_inflight(marker)
+    res2 = manifest.expire_snapshots(out, keep=1)
+    assert not os.path.exists(slow_chunk), res2
+    # a crashed job's marker older than the TTL stops protecting and
+    # is swept by the next expire
+    marker2 = manifest.begin_inflight(out)
+    t_dead = time.time() - manifest.INFLIGHT_TTL_S - 60
+    os.utime(marker2, (t_dead, t_dead))
+    orphan = os.path.join(out, "chunks", "chunk-deadjob.parquet")
+    with open(orphan, "wb") as f:
+        f.write(b"PAR1fake")
+    os.utime(orphan, (t_dead + 10, t_dead + 10))
+    res3 = manifest.expire_snapshots(out, keep=1)
+    assert not os.path.exists(orphan), res3
+    assert not os.path.exists(marker2)
+    assert table.read_table(spark, out).count() == df.count() + 10
+
+
+def test_count_rows_historical_pre02_snapshot(spark, tmp_path):
+    """count_rows(snapshot_id=<pre-0.2 id>) must return the HISTORICAL
+    total, not silently copy the current snapshot's (ADVICE r3): the
+    legacy load_refs branch now recomputes totals from the legacy
+    manifest's entries."""
+    tdir = _fake_pre02_table(tmp_path / "legacy")  # snap 0: 30 rows
+    listing = manifest.load(tdir)
+    bigger = listing["entries"] + [
+        {**listing["entries"][0], "chunk_id": "900000",
+         "file": "chunks/chunk-900000.parquet", "n_rows": 1000}
+    ]
+    manifest.commit(tdir, bigger, schema_ddl="{}")  # snap 1: 1030 rows
+    assert table.count_rows(tdir) == 1030
+    assert table.count_rows(tdir, snapshot_id=0) == 30
+
+
+def test_commit_lock_timeout_enforced_under_churn(tmp_path):
+    """A vanishing/reappearing lock (churn) must still honor the
+    caller's timeout instead of busy-spinning forever (ADVICE r3: the
+    OSError-retry path skipped the deadline check)."""
+    import threading
+    import time
+
+    tdir = str(tmp_path / "tbl")
+    os.makedirs(tdir)
+    lock = os.path.join(tdir, "_commit.lock")
+    stop = threading.Event()
+
+    def churn():
+        while not stop.is_set():
+            with open(lock, "w") as f:
+                f.write("churn")
+            time.sleep(0.002)
+
+    with open(lock, "w") as f:
+        f.write("held")
+    t = threading.Thread(target=churn, daemon=True)
+    t.start()
+    t0 = time.monotonic()
+    try:
+        with pytest.raises(manifest.CommitConflict):
+            manifest._acquire_commit_lock(tdir, timeout=0.5)
+    finally:
+        stop.set()
+        t.join()
+    elapsed = time.monotonic() - t0
+    assert elapsed < 5.0, elapsed
