@@ -135,6 +135,15 @@ class CommitConflict(RuntimeError):
     """Another writer holds the table's commit lock."""
 
 
+class StaleParent(RuntimeError):
+    """The snapshot this commit was prepared against is no longer
+    current (optimistic concurrency: re-prepare against the new parent
+    and retry)."""
+
+
+_EXPECT_ANY = object()
+
+
 def _acquire_commit_lock(table_dir: str, timeout: float):
     """O_CREAT|O_EXCL lock file around the read-merge-swing window so
     two concurrent writers cannot both commit against the same parent
@@ -396,18 +405,30 @@ def load(table_dir: str, snapshot_id: int | None = None) -> dict | None:
 
 def commit_shards(table_dir: str, shard_refs: list[dict],
                   schema_ddl: str, extra: dict | None = None,
-                  lock_timeout: float = 30.0) -> int:
+                  lock_timeout: float = 30.0,
+                  expect_parent=_EXPECT_ANY) -> int:
     """Commit a snapshot from PRE-WRITTEN shard manifest files (the
     distributed-commit path: executor tasks wrote one immutable
     ``_manifests/`` file per shard and the driver holds only the
     O(shards) summaries — per-chunk JSON never reaches the driver).
 
     Each ref: {shard, file (relative), n_chunks, n_rows, raw_bytes,
-    enc_bytes}. Fresh (replace) semantics only — appends go through
-    ``commit(append=True)``, whose merge is O(touched shards) anyway."""
+    enc_bytes}. The ref list must describe the FULL snapshot — append
+    merges are prepared by the caller (table._commit_append_distributed
+    merges overlapping shards task-side) and validated here via
+    ``expect_parent``: if the current snapshot is no longer the one the
+    refs were prepared against, StaleParent is raised so the caller can
+    re-merge and retry (optimistic concurrency)."""
     lock = _acquire_commit_lock(table_dir, lock_timeout)
     try:
         prev = load_refs(table_dir)
+        if expect_parent is not _EXPECT_ANY:
+            cur = prev["snapshot_id"] if prev else None
+            if cur != expect_parent:
+                raise StaleParent(
+                    f"prepared against snapshot {expect_parent}, "
+                    f"current is {cur}"
+                )
         snapshot_id = (prev["snapshot_id"] + 1) if prev else 0
         # refs keep per-shard totals: later APPEND commits carry
         # untouched shards forward without reading their files
@@ -523,8 +544,13 @@ def _inflight_floor(table_dir: str) -> float:
     return floor
 
 
+# above this many chunks expire goes distributed (keep-sets built inside
+# Spark tasks); mirrors table.DISTRIBUTED_MANIFEST_MIN_CHUNKS
+_DISTRIBUTED_EXPIRE_MIN_CHUNKS = 4096
+
+
 def expire_snapshots(table_dir: str, keep: int = 2,
-                     lock_timeout: float = 30.0) -> dict:
+                     lock_timeout: float = 30.0, spark=None) -> dict:
     """Iceberg expire_snapshots parity: retain the latest ``keep``
     snapshots, delete older snapshot listings, manifest shards
     referenced only by them, and chunk files no retained snapshot
@@ -533,11 +559,23 @@ def expire_snapshots(table_dir: str, keep: int = 2,
 
     Runs under the table's commit lock (a concurrent commit racing the
     unlink loop could otherwise reference freshly deleted files), and
-    never deletes chunk files newer than the current snapshot — those
-    belong to an in-flight encode job that has not committed yet
-    (resume checkpoint files)."""
+    never deletes chunk files newer than the oldest active in-flight
+    marker (see begin_inflight) or the current commit — those belong to
+    an encode job that has not committed yet (resume checkpoint files).
+
+    Pass ``spark`` to let large tables (≥ _DISTRIBUTED_EXPIRE_MIN_CHUNKS
+    chunks) build their keep-sets INSIDE Spark tasks: shard files are
+    read and the disk listing anti-joined task-side, so the driver
+    handles only O(shards) refs and the final unlink list — never the
+    per-chunk entry JSON (GBs at the 10¹²-turn frame)."""
     lock = _acquire_commit_lock(table_dir, lock_timeout)
     try:
+        refs = load_refs(table_dir)
+        if (spark is not None and refs is not None
+                and refs.get("manifest_shards") is not None
+                and refs.get("n_chunks", 0)
+                >= _DISTRIBUTED_EXPIRE_MIN_CHUNKS):
+            return _expire_locked_distributed(spark, table_dir, keep)
         return _expire_locked(table_dir, keep)
     finally:
         try:
@@ -546,17 +584,139 @@ def expire_snapshots(table_dir: str, keep: int = 2,
             pass
 
 
-def _expire_locked(table_dir: str, keep: int) -> dict:
-    current = load(table_dir)
-    if current is None:
-        return {"expired_snapshots": 0, "deleted_chunks": 0}
+def _retained_expired(table_dir: str, current_id: int,
+                      keep: int) -> tuple[list[int], list[int]]:
     mdir = os.path.join(table_dir, "_manifests")
     snaps = sorted(_snapshot_ids_on_disk(mdir))
     retained = sorted(
-        {s for s in snaps if s > current["snapshot_id"] - keep}
-        | {current["snapshot_id"]}  # the live snapshot is NEVER expired
+        {s for s in snaps if s > current_id - keep} | {current_id}
     )
-    expired = [s for s in snaps if s not in retained]
+    return retained, [s for s in snaps if s not in retained]
+
+
+def _gc_floor(table_dir: str) -> float:
+    """Chunk files at/after this instant are never GC'd: the oldest
+    active in-flight marker, or failing that the current commit."""
+    try:
+        floor = os.path.getmtime(
+            os.path.join(table_dir, "_manifest_list.json"))
+    except OSError:
+        floor = float("inf")
+    return min(floor, _inflight_floor(table_dir))
+
+
+def _cleanup_manifest_files(mdir: str, expired: list[int],
+                            keep_shards: set) -> None:
+    expired_set = set(expired)
+    for fn in os.listdir(mdir):
+        if fn.startswith("snap-"):
+            try:
+                sid = int(fn[len("snap-"):-len(".json")])
+            except ValueError:
+                continue
+            if sid in expired_set:
+                os.unlink(os.path.join(mdir, fn))
+        elif fn.startswith("manifest-") and fn not in keep_shards:
+            os.unlink(os.path.join(mdir, fn))
+
+
+def _expire_locked_distributed(spark, table_dir: str, keep: int) -> dict:
+    """Distributed expire: the driver touches only snapshot listings
+    (O(shards) refs each) and the deletable-file list; referenced-chunk
+    keep-sets come from shard files read INSIDE tasks, and the chunks
+    dir is listed executor-side too (object stores list in parallel by
+    prefix; the local-FS stand-in is one streaming task)."""
+    import pandas as _pd
+    from pyspark.sql import functions as F
+
+    current = load_refs(table_dir)
+    mdir = os.path.join(table_dir, "_manifests")
+    retained, expired = _retained_expired(
+        table_dir, current["snapshot_id"], keep)
+    keep_shards: set[str] = set()
+    shard_files: set[str] = set()
+    for s in retained:
+        listing = load_refs(table_dir, snapshot_id=s)
+        if listing.get("manifest_shards") is None:
+            # a retained pre-0.2 snapshot: legacy single-file manifests
+            # predate the scale this path exists for — driver walk
+            return _expire_locked(table_dir, keep)
+        for ref in listing["manifest_shards"]:
+            keep_shards.add(os.path.basename(ref["file"]))
+            shard_files.add(ref["file"])
+    floor = _gc_floor(table_dir)
+    cdir = os.path.join(table_dir, "chunks")
+
+    def referenced(pdfs):
+        import json as _json
+        import os as _os
+
+        for pdf in pdfs:
+            names = []
+            for f in pdf["f"]:
+                with open(_os.path.join(table_dir, f)) as fh:
+                    names.extend(_os.path.basename(e["file"])
+                                 for e in _json.load(fh)["entries"])
+            yield _pd.DataFrame({"name": names})
+
+    def list_chunks(pdfs):
+        import os as _os
+
+        for pdf in pdfs:
+            for d in pdf["d"]:
+                if not _os.path.isdir(d):
+                    continue
+                batch = []
+                for fn in _os.listdir(d):
+                    if not fn.endswith(".parquet"):
+                        continue
+                    try:
+                        m = _os.path.getmtime(_os.path.join(d, fn))
+                    except OSError:
+                        continue
+                    batch.append((fn, m))
+                    if len(batch) >= 65536:
+                        yield _pd.DataFrame(batch,
+                                            columns=["name", "mtime"])
+                        batch = []
+                if batch:
+                    yield _pd.DataFrame(batch, columns=["name", "mtime"])
+
+    par = min(len(shard_files),
+              spark.sparkContext.defaultParallelism) or 1
+    keep_df = spark.createDataFrame(
+        _pd.DataFrame({"f": sorted(shard_files)}), "f string"
+    ).repartition(par).mapInPandas(referenced, "name string")
+    disk_df = spark.createDataFrame(
+        _pd.DataFrame({"d": [cdir]}), "d string"
+    ).mapInPandas(list_chunks, "name string, mtime double")
+    deletable = (
+        disk_df.filter(F.col("mtime") < F.lit(floor))
+        .join(keep_df, "name", "left_anti")
+        .select("name").collect()
+    )
+    deleted_chunks = 0
+    for r in deletable:
+        try:
+            os.unlink(os.path.join(cdir, r["name"]))
+            deleted_chunks += 1
+        except OSError:
+            pass
+    _cleanup_manifest_files(mdir, expired, keep_shards)
+    return {
+        "expired_snapshots": len(expired),
+        "retained_snapshots": retained,
+        "deleted_chunks": deleted_chunks,
+    }
+
+
+def _expire_locked(table_dir: str, keep: int) -> dict:
+    current = load_refs(table_dir)
+    if current is None:
+        return {"expired_snapshots": 0, "deleted_chunks": 0}
+    mdir = os.path.join(table_dir, "_manifests")
+    retained, expired = _retained_expired(
+        table_dir, current["snapshot_id"], keep)
     keep_shards: set[str] = set()
     keep_files: set[str] = set()
     for s in retained:
@@ -571,14 +731,7 @@ def _expire_locked(table_dir: str, keep: int) -> dict:
     # ACTIVE in-flight marker belong to a running encode job (see
     # begin_inflight). The last-commit mtime stays as a secondary
     # floor for writers predating the marker protocol.
-    try:
-        current_commit_mtime = os.path.getmtime(
-            os.path.join(table_dir, "_manifest_list.json")
-        )
-    except OSError:
-        current_commit_mtime = float("inf")
-    current_commit_mtime = min(current_commit_mtime,
-                               _inflight_floor(table_dir))
+    floor = _gc_floor(table_dir)
     deleted_chunks = 0
     cdir = os.path.join(table_dir, "chunks")
     if os.path.isdir(cdir):
@@ -587,22 +740,13 @@ def _expire_locked(table_dir: str, keep: int) -> dict:
                 continue
             fpath = os.path.join(cdir, fn)
             try:
-                if os.path.getmtime(fpath) >= current_commit_mtime:
+                if os.path.getmtime(fpath) >= floor:
                     continue  # in-flight, uncommitted
                 os.unlink(fpath)
                 deleted_chunks += 1
             except OSError:
                 pass
-    for fn in os.listdir(mdir):
-        if fn.startswith("snap-"):
-            try:
-                sid = int(fn[len("snap-"):-len(".json")])
-            except ValueError:
-                continue
-            if sid in expired:
-                os.unlink(os.path.join(mdir, fn))
-        elif fn.startswith("manifest-") and fn not in keep_shards:
-            os.unlink(os.path.join(mdir, fn))
+    _cleanup_manifest_files(mdir, expired, keep_shards)
     return {
         "expired_snapshots": len(expired),
         "retained_snapshots": retained,

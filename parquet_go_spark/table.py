@@ -147,20 +147,19 @@ def write_table(
     )
     if distributed_commit is None:
         distributed_commit = (
-            not append
-            and (extra.get("num_chunks") or 0)
-            >= DISTRIBUTED_MANIFEST_MIN_CHUNKS
+            (extra.get("num_chunks") or 0) >= DISTRIBUTED_MANIFEST_MIN_CHUNKS
         )
     if distributed_commit:
-        if append:
-            raise ValueError(
-                "distributed_commit supports fresh commits only; "
-                "append merges go through manifest.commit(append=True)"
-            )
         refs = _write_shards_distributed(entries_df, table_dir)
-        snapshot = manifest.commit_shards(
-            table_dir, refs, schema_ddl=df.schema.json(), extra=extra,
-        )
+        if append:
+            snapshot = _commit_append_distributed(
+                df.sparkSession, table_dir, refs,
+                schema_ddl=df.schema.json(), extra=extra,
+            )
+        else:
+            snapshot = manifest.commit_shards(
+                table_dir, refs, schema_ddl=df.schema.json(), extra=extra,
+            )
         return {
             "snapshot_id": snapshot,
             "n_chunks": sum(r["n_chunks"] for r in refs),
@@ -337,6 +336,129 @@ def _write_shards_distributed(entries_df: DataFrame,
         .collect()
     )
     return [r.asDict() for r in rows]
+
+
+def _commit_append_distributed(
+    spark: SparkSession,
+    table_dir: str,
+    new_refs: list[dict],
+    schema_ddl: str,
+    extra: dict | None,
+    max_retries: int = 10,
+) -> int:
+    """APPEND commit at manifest scale: the batch's shard files are
+    already on disk (written by encode tasks); shards the batch shares
+    with the parent are merged INSIDE Spark tasks (read parent shard +
+    batch shard, merge by chunk_id — same-id overrides, the idempotent
+    replay contract — write one immutable merged file); untouched
+    parent refs carry forward, pre-totals refs are enriched task-side.
+    The driver only ever holds O(shards) summaries — a million-chunk
+    backfill append no longer funnels per-chunk entry JSON through
+    ``manifest.commit(append=True)``.
+
+    Optimistic concurrency: the merge runs against a parent read
+    OUTSIDE the commit lock; ``commit_shards(expect_parent=...)``
+    re-checks under the lock and raises StaleParent if another commit
+    landed, in which case the merge re-runs against the new parent."""
+    import uuid
+
+    for _attempt in range(max_retries):
+        prev = manifest.load_refs(table_dir)
+        if prev is not None and prev.get("manifest_shards") is None:
+            # pre-0.2 single-file parent: every entry lives in one flat
+            # file — there is nothing shard-incremental to preserve, and
+            # legacy tables predate the scale this path exists for
+            raise ValueError(
+                "distributed append onto a pre-0.2 single-file manifest "
+                "is not supported; compact() or rewrite the table first"
+            )
+        parent_id = prev["snapshot_id"] if prev else None
+        prev_refs = {r["shard"]: dict(r)
+                     for r in (prev["manifest_shards"] if prev else [])}
+        new_by_shard = {r["shard"]: r for r in new_refs}
+        token = uuid.uuid4().hex[:12]
+        work = []
+        for s in sorted(set(prev_refs) & set(new_by_shard)):
+            work.append((s, prev_refs[s]["file"], new_by_shard[s]["file"]))
+        for s, r in prev_refs.items():
+            if s not in new_by_shard and "n_rows" not in r:
+                work.append((s, r["file"], None))  # enrich totals only
+
+        def merge_shards(pdfs):
+            import json as _json
+            import os as _os
+
+            from . import manifest as M
+
+            for pdf in pdfs:
+                out = []
+                for shard, pfile, nfile in pdf.itertuples(index=False):
+                    with open(_os.path.join(table_dir, pfile)) as f:
+                        parent_ents = _json.load(f)["entries"]
+                    if not isinstance(nfile, str):  # null → enrich-only
+                        ents = parent_ents
+                        file_rel = pfile
+                    else:
+                        merged = {e["chunk_id"]: e for e in parent_ents}
+                        with open(_os.path.join(table_dir, nfile)) as f:
+                            for e in _json.load(f)["entries"]:
+                                merged[e["chunk_id"]] = e
+                        ents = sorted(merged.values(),
+                                      key=lambda e: e["chunk_id"])
+                        if ents == parent_ents:  # idempotent replay
+                            file_rel = pfile
+                        else:
+                            fname = (f"manifest-{token}-m-"
+                                     f"{shard or 'root'}.json")
+                            fpath = _os.path.join(table_dir, "_manifests",
+                                                  fname)
+                            M._atomic_write_json(fpath, {"entries": ents})
+                            file_rel = _os.path.join("_manifests", fname)
+                    out.append({
+                        "shard": shard, "file": file_rel,
+                        "n_chunks": len(ents),
+                        "n_rows": sum(e["n_rows"] for e in ents),
+                        "raw_bytes": sum(e["raw_bytes"] for e in ents),
+                        "enc_bytes": sum(e["enc_bytes"] for e in ents),
+                    })
+                yield pd.DataFrame(out)
+
+        merged_refs: dict[str, dict] = {}
+        if work:
+            par = min(len(work), spark.sparkContext.defaultParallelism) or 1
+            wdf = spark.createDataFrame(
+                pd.DataFrame(work,
+                             columns=["shard", "parent_file", "new_file"]),
+                "shard string, parent_file string, new_file string",
+            ).repartition(par)
+            rows = wdf.mapInPandas(
+                merge_shards,
+                "shard string, file string, n_chunks long, n_rows long, "
+                "raw_bytes long, enc_bytes long",
+            ).collect()
+            merged_refs = {r["shard"]: r.asDict() for r in rows}
+
+        final: list[dict] = []
+        for s, r in prev_refs.items():
+            if s in new_by_shard:
+                final.append(merged_refs[s])
+            else:
+                final.append(merged_refs.get(s, r))
+        for s, r in new_by_shard.items():
+            if s not in prev_refs:
+                final.append({k: r[k] for k in
+                              ("shard", "file", "n_chunks", "n_rows",
+                               "raw_bytes", "enc_bytes")})
+        try:
+            return manifest.commit_shards(
+                table_dir, final, schema_ddl=schema_ddl, extra=extra,
+                expect_parent=parent_id,
+            )
+        except manifest.StaleParent:
+            continue  # another commit landed: re-merge against it
+    raise manifest.CommitConflict(
+        f"append commit lost the parent race {max_retries} times"
+    )
 
 
 def read_table(
@@ -606,18 +728,17 @@ def write_table_direct(
     schema_ddl = spark.read.parquet(files[0]).schema.json()
     extra = {"mode": "direct", "key_cols": list(key_cols)}
     if distributed_commit is None:
-        distributed_commit = (
-            not append and len(groups) >= DISTRIBUTED_MANIFEST_MIN_CHUNKS
-        )
+        distributed_commit = len(groups) >= DISTRIBUTED_MANIFEST_MIN_CHUNKS
     if distributed_commit:
-        if append:
-            raise ValueError(
-                "distributed_commit supports fresh commits only"
-            )
         refs = _write_shards_distributed(entries_df, table_dir)
-        snapshot = manifest.commit_shards(
-            table_dir, refs, schema_ddl=schema_ddl, extra=extra,
-        )
+        if append:
+            snapshot = _commit_append_distributed(
+                spark, table_dir, refs, schema_ddl=schema_ddl, extra=extra,
+            )
+        else:
+            snapshot = manifest.commit_shards(
+                table_dir, refs, schema_ddl=schema_ddl, extra=extra,
+            )
         return {
             "snapshot_id": snapshot,
             "n_chunks": sum(r["n_chunks"] for r in refs),

@@ -870,10 +870,12 @@ def test_distributed_commit_matches_driver_commit(spark, tmp_path):
     assert table.verify_roundtrip(df, back, ("conv_id", "turn_idx"))[
         "identical"
     ]
-    # appends refuse the distributed path explicitly
-    with pytest.raises(ValueError, match="append"):
-        table.write_table(df.limit(10), out_b, num_chunks=1, append=True,
-                          distributed_commit=True)
+    # appends ride the distributed path too (r4): totals stay exact
+    before = table.count_rows(out_b)
+    table.write_table(df.limit(10), out_b, num_chunks=1,
+                      chunk_prefix="x-", append=True,
+                      distributed_commit=True)
+    assert table.count_rows(out_b) == before + 10
 
 
 def _synthesize_big_manifest(spark, tmp_path, n_fake=100_000,
@@ -1182,3 +1184,87 @@ def test_commit_lock_timeout_enforced_under_churn(tmp_path):
         t.join()
     elapsed = time.monotonic() - t0
     assert elapsed < 5.0, elapsed
+
+
+def test_distributed_append_matches_driver_append(spark, tmp_path):
+    """The distributed append commit must produce a snapshot identical
+    to the driver merge: same-id overrides, untouched shards carried
+    forward, new shard namespaces added."""
+    df = make_transcripts_df(spark, n_conv=40, seed=91)
+    out_a = str(tmp_path / "a")
+    out_b = str(tmp_path / "b")
+    for out in (out_a, out_b):
+        table.write_table(df, out, num_chunks=2, chunk_prefix="aa-")
+    batch = df.limit(100)
+    table.write_table(batch, out_a, num_chunks=2, chunk_prefix="aa-",
+                      append=True)  # driver merge
+    table.write_table(batch, out_b, num_chunks=2, chunk_prefix="aa-",
+                      append=True, distributed_commit=True)
+    fresh = df.limit(30)
+    table.write_table(fresh, out_a, num_chunks=1, chunk_prefix="bb-",
+                      append=True)
+    table.write_table(fresh, out_b, num_chunks=1, chunk_prefix="bb-",
+                      append=True, distributed_commit=True)
+    la, lb = manifest.load(out_a), manifest.load(out_b)
+    assert {e["chunk_id"]: e["data_crc"] for e in la["entries"]} == \
+        {e["chunk_id"]: e["data_crc"] for e in lb["entries"]}
+    assert (la["n_rows"], la["n_chunks"]) == (lb["n_rows"], lb["n_chunks"])
+    assert table.read_table(spark, out_b).count() == lb["n_rows"]
+
+
+def test_distributed_append_never_materializes_entries(spark, tmp_path,
+                                                       monkeypatch):
+    """An append onto a 100k-chunk table must stay O(batch)+O(shards)
+    on the driver: shard merges/enrichment run inside tasks and
+    manifest.load / _read_entries are never called."""
+    out, df = _synthesize_big_manifest(spark, tmp_path)
+    batch = make_transcripts_df(spark, n_conv=10, seed=5)
+    n_batch = batch.count()
+    monkeypatch.setattr(table, "DISTRIBUTED_MANIFEST_MIN_CHUNKS", 4)
+
+    def boom(*a, **k):
+        raise AssertionError("driver materialized manifest entries")
+
+    monkeypatch.setattr(manifest, "_read_entries", boom)
+    monkeypatch.setattr(manifest, "load", boom)
+    res = table.write_table(batch, out, num_chunks=8, chunk_prefix="ap-",
+                            append=True)
+    assert res["n_chunks"] >= 1
+    # listing totals are incremental sums over refs — no entry walks
+    assert table.count_rows(out) == 100_000 * 10 + df.count() + n_batch
+    got = table.read_table(
+        spark, out, predicates={"conv_id": (None, "conv-99999999")}
+    )
+    assert got.count() == df.count() + n_batch
+    # idempotent replay: same batch, same ids — byte-identical snapshot
+    res2 = table.write_table(batch, out, num_chunks=8, chunk_prefix="ap-",
+                             append=True)
+    assert table.count_rows(out) == 100_000 * 10 + df.count() + n_batch
+
+
+def test_distributed_expire_never_materializes_entries(spark, tmp_path,
+                                                       monkeypatch):
+    """expire_snapshots(spark=...) on a big table: keep-sets built from
+    shard files inside tasks, chunks dir anti-joined executor-side; the
+    driver handles only refs and the unlink list. GC'd: an old orphan;
+    kept: every referenced chunk; expired: the superseded snapshot."""
+    out, df = _synthesize_big_manifest(spark, tmp_path, n_fake=20_000)
+    orphan = os.path.join(out, "chunks", "chunk-orphan0.parquet")
+    with open(orphan, "wb") as f:
+        f.write(b"PAR1fake")
+    os.utime(orphan, (1, 1))
+
+    def boom(*a, **k):
+        raise AssertionError("driver materialized manifest entries")
+
+    monkeypatch.setattr(manifest, "_read_entries", boom)
+    monkeypatch.setattr(manifest, "load", boom)
+    res = manifest.expire_snapshots(out, keep=1, spark=spark)
+    assert res["deleted_chunks"] == 1, res
+    assert not os.path.exists(orphan)
+    assert res["expired_snapshots"] >= 1  # snap-0 superseded by snap-9
+    monkeypatch.undo()
+    got = table.read_table(
+        spark, out, predicates={"conv_id": (None, "conv-99999999")}
+    )
+    assert got.count() == df.count()
