@@ -6,17 +6,24 @@ literature, see PAPERS.md) is NOT part of Parquet or the reference
 for the high-cardinality ``text`` column, where the Parquet baseline's
 dictionary falls back to PLAIN (BASELINE.md: text = 86% of file size).
 
-Model: a static table of ≤255 symbols, each 1–8 bytes; code byte 255 is
-an escape (next stream byte is a literal). Encode replaces the greedy
-longest-match symbol at each position with its 1-byte code. Decode is a
-context-free table lookup — trivially vectorizable and branch-free.
+Model: a static table of ≤255 symbols; code byte 255 is an escape (next
+stream byte is a literal). Encode replaces the greedy longest-match
+symbol at each position with its 1-byte code. Decode is a context-free
+table lookup — trivially vectorizable and branch-free.
 
-Everything here is numpy-vectorized ("no per-row Python" per
-input_hint); the inherently sequential greedy parse is solved with
-pointer doubling over the jump array (O(n log n) gathers instead of an
-O(n) Python loop):
+This implementation EXTENDS the paper's 8-byte symbol cap to 16 bytes
+("FSST-16"): transcript/boilerplate text repeats much longer substrings
+than 8 bytes, so longer symbols raise the compression ratio AND the
+encode throughput at once (the greedy parse emits ~40% fewer units, and
+matching cost is per-unit). The blob layout is unchanged — symbol
+lengths are explicit, so the decoder is length-generic.
 
-    next[i] = i + match_len[i];  chain from 0 = greedy parse.
+Everything on the bulk path is numpy-vectorized ("no per-row Python"
+per input_hint); the inherently sequential greedy parse runs as a
+lockstep frontier across strings (one numpy round matches every
+still-unfinished string at once). Training runs on a ≤16 KiB sample
+where plain-Python candidate counting is faster than any vectorized
+formulation and is explicitly off the hot path.
 
 Strings are encoded as ONE concatenated byte buffer (original lengths
 stored separately, frame-of-reference bit-packed): symbol matches may
@@ -41,9 +48,10 @@ from .delta import for_decode, for_encode
 __all__ = ["fsst_train", "fsst_encode", "fsst_decode"]
 
 _MAX_SYMBOLS = 255  # code 255 reserved for escape
-_MAX_LEN = 8
+_MAX_SYM = 16       # symbol length cap (FSST-16 extension; paper uses 8)
+_KEY = 8            # window-key width: symbols compare as ≤2 u64 words
 _ESCAPE = 255
-_GENERATIONS = 5
+_GENERATIONS = 5    # symbol length doubles per generation: 1→2→…→16
 _SAMPLE_TARGET = 1 << 14  # train on ≤16 KiB sampled across the buffer —
 # the reference FSST implementation trains on a ~16 KB sample too; vs
 # 64 KiB this is 3.4× faster to train at <1% size cost on transcripts
@@ -62,127 +70,158 @@ def _window_keys(data: np.ndarray) -> np.ndarray:
     One contiguous copy + byteswap view — the 8-pass shift/or loop is
     ~30× slower in numpy (each pass allocates an n×8B temporary)."""
     n = len(data)
-    pad = np.zeros(n + _MAX_LEN - 1, np.uint8)
+    pad = np.zeros(n + _KEY - 1, np.uint8)
     pad[:n] = data
-    w = np.lib.stride_tricks.sliding_window_view(pad, _MAX_LEN)[:n]
+    w = np.lib.stride_tricks.sliding_window_view(pad, _KEY)[:n]
     return np.ascontiguousarray(w).view(">u8").ravel().astype(np.uint64)
+
+
+_HASH_BITS = 12
+_HASH_SIZE = 1 << _HASH_BITS
+_HASH_MUL32 = np.uint32(2654435761)  # Knuth multiplicative hash
+_HASH_WAYS = 4  # set-associative: same-prefix symbol families are
+# common in text ("the ", "the c", …) and 1-way loses ~25% ratio
 
 
 class _MatchTables:
     """Match acceleration: 1-byte and 2-byte direct-lookup tables (exact,
-    one gather each) plus ONE combined sorted interval table for symbols
-    of length 3–8. A length-L symbol owns the dyadic range
-    [key<<(64-8L), key+1<<(64-8L)) of 8-byte window keys; dyadic ranges
-    are laminar, so longest-match = deepest interval containing the
-    window key, found with a single searchsorted + a ≤6-step parent
-    chain of gathers (vs one binary search per length class)."""
+    one gather each) plus a set-associative hash table on the first 3
+    bytes for symbols of length 3–16 — the structure the reference FSST
+    C++ encoder uses, widened to _HASH_WAYS slots per bucket and to
+    two-word keys for the FSST-16 symbol cap. One multiply-shift hash +
+    per-way slot compares replaces the r3 searchsorted + parent-chain
+    walk (which profiled at ~50% of encode).
+
+    Within a bucket, kept entries are sorted by length DESCENDING, so
+    the probe can early-exit: the first way that matches IS the longest
+    match in the bucket, and misses compact geometrically (way 1+ runs
+    on shrinking subsets). The table is lossy by design: more than
+    _HASH_WAYS same-bucket symbols drop the lowest-gain overflow — a
+    dropped symbol just means a shorter match is emitted; the stream
+    stays valid, and because training parses with the SAME matcher,
+    gains are computed against what encode can actually match."""
 
     def __init__(self, symbols: list[bytes]):
         self.n_sym = len(symbols)
         self.t1 = np.full(256, _ESCAPE, np.uint8)
         self.t2 = np.full(1 << 16, _ESCAPE, np.uint8)
-        items: list[tuple[int, int, int]] = []  # (padded_start, L, code)
+        size = _HASH_SIZE * _HASH_WAYS
+        self.hkey_hi = np.zeros(size, np.uint64)
+        self.hmask_hi = np.zeros(size, np.uint64)
+        self.hkey_lo = np.zeros(size, np.uint64)  # bytes 8..16, 0 if L≤8
+        self.hmask_lo = np.zeros(size, np.uint64)
+        # empty-slot sentinel: a length no ``rem`` can satisfy makes the
+        # probe's rem>=hl test reject empty slots for free
+        self.hlen = np.full(size, 1 << 40, np.int64)
+        self.hcode = np.zeros(size, np.uint8)
+        self.hocc = np.zeros(_HASH_SIZE, np.uint8)  # entries per bucket
+        self.has_long = False
+        buckets: dict[int, list[tuple[bytes, int]]] = {}
         for i, s in enumerate(symbols):
-            k = int.from_bytes(s, "big")
-            if len(s) == 1:
-                self.t1[k] = i
-            elif len(s) == 2:
-                self.t2[k] = i
+            L = len(s)
+            if L == 1:
+                self.t1[s[0]] = i
+            elif L == 2:
+                self.t2[int.from_bytes(s, "big")] = i
             else:
-                items.append((k << (8 * (_MAX_LEN - len(s))), len(s), i))
-        # sort (start asc, L asc): the rightmost start ≤ key is the
-        # deepest candidate; ancestors are reached via parent[]
-        items.sort(key=lambda t: (t[0], t[1]))
-        n = len(items)
-        self.starts = np.array([t[0] for t in items], np.uint64)
-        self.lens = np.array([t[1] for t in items], np.int64)
-        self.codes = np.array([t[2] for t in items], np.uint8)
-        self.widths = np.array(
-            [1 << (8 * (_MAX_LEN - t[1])) for t in items], np.uint64
-        )
-        parent = np.full(n, -1, np.int64)
-        stack: list[int] = []  # laminar family: stack scan
-        for i, (st, L, _) in enumerate(items):
-            end = st + (1 << (8 * (_MAX_LEN - L)))
-            while stack:
-                j = stack[-1]
-                j_end = items[j][0] + (1 << (8 * (_MAX_LEN - items[j][1])))
-                if j_end <= st:
-                    stack.pop()
-                else:
-                    break
-            if stack:
-                parent[i] = stack[-1]
-            stack.append(i)
-        self.parent = parent
-        self.max_chain = len({t[1] for t in items})
-        # 2-byte-prefix occupancy prefilter: a 3-8-byte symbol's
-        # dyadic interval lies entirely within one 16-bit-prefix bucket
-        # (the prefix IS its first two bytes), so a window key whose
-        # bucket is empty cannot have any long match — those frontier
-        # positions skip the binary search after one uint8 gather. (An
-        # in-bucket linear count-scan was tried and measured no faster
-        # than searchsorted on the surviving keys.)
-        pref = ((self.starts >> np.uint64(48)).astype(np.int64)
-                if n else np.zeros(0, np.int64))
-        self.cnt16 = np.bincount(pref, minlength=1 << 16).astype(np.int32)
+                key3 = int.from_bytes(s[:3], "big")
+                buckets.setdefault(self._bucket(key3), []).append((s, i))
+        for b, items in buckets.items():
+            # keep the _HASH_WAYS highest-gain (list order = gain order),
+            # probe order = length descending for early-exit longest-match
+            kept = sorted(items[:_HASH_WAYS], key=lambda t: -len(t[0]))
+            for w, (s, i) in enumerate(kept):
+                L = len(s)
+                j = b * _HASH_WAYS + w
+                hi = s[:_KEY]
+                self.hkey_hi[j] = np.uint64(
+                    int.from_bytes(hi.ljust(_KEY, b"\0"), "big"))
+                self.hmask_hi[j] = np.uint64(
+                    ((1 << (8 * len(hi))) - 1) << (8 * (_KEY - len(hi))))
+                lo = s[_KEY:]
+                if lo:
+                    self.hkey_lo[j] = np.uint64(
+                        int.from_bytes(lo.ljust(_KEY, b"\0"), "big"))
+                    self.hmask_lo[j] = np.uint64(
+                        ((1 << (8 * len(lo))) - 1)
+                        << (8 * (_KEY - len(lo))))
+                self.hlen[j] = L
+                self.hcode[j] = i
+            self.hocc[b] = len(kept)
+            self.has_long = True
+        self.max_ways = int(self.hocc.max()) if self.has_long else 0
 
-    def long_match(self, k: np.ndarray, rem: np.ndarray,
+    @staticmethod
+    def _bucket(key3: int) -> int:
+        h = (int(key3) * int(_HASH_MUL32)) & 0xFFFFFFFF
+        return h >> (32 - _HASH_BITS)
+
+    def long_match(self, k: np.ndarray, k2: np.ndarray, rem: np.ndarray,
                    code: np.ndarray, mlen: np.ndarray) -> None:
-        """In-place longest-match update for window keys ``k`` against
-        the 3–8-byte symbols (rem-capped)."""
-        if len(self.starts) == 0 or len(k) == 0:
+        """In-place longest-match update for window keys against the
+        3–16-byte symbols (rem-capped): one multiply-shift hash of the
+        3-byte prefix, then length-descending way probes with early-exit
+        compaction (a hit IS the bucket's longest match; misses continue
+        only while the bucket has deeper ways). ``k``/``k2`` are the
+        8-byte windows at the position and position+8; L≤8 slots have
+        zero lo-masks, so the second-word compare is free for them."""
+        if not self.has_long or len(k) == 0:
             return
-        p16 = (k >> np.uint64(48)).astype(np.int64)
-        c_all = self.cnt16[p16]
-        cand = np.flatnonzero(c_all > 0)
-        if len(cand) == 0:
-            return
-        kc = k[cand]
-        idx = np.searchsorted(self.starts, kc, side="right") - 1
-        sel0 = np.flatnonzero(idx >= 0)
-        sel = cand[sel0]
-        cur = idx[sel0]
-        for _ in range(self.max_chain):  # compact to still-chaining rows
-            if len(sel) == 0:
-                break
-            st = self.starts[cur]
-            L = self.lens[cur]
-            ok = ((k[sel] - st) < self.widths[cur]) & (rem[sel] >= L)
-            hit = sel[ok]
-            code[hit] = self.codes[cur[ok]]
-            mlen[hit] = L[ok]
-            sel = sel[~ok]
-            cur = self.parent[cur[~ok]]
-            keep = cur >= 0
-            sel = sel[keep]
-            cur = cur[keep]
+        key3 = (k >> np.uint64(40)).astype(np.uint32)
+        b = ((key3 * _HASH_MUL32)
+             >> np.uint32(32 - _HASH_BITS)).astype(np.int64)
+        occ = self.hocc[b]
+        idx = b * _HASH_WAYS
+        sel = None  # None = full set; else indices into the caller arrays
+        ks, k2s, rems = k, k2, rem
+        for w in range(self.max_ways):
+            iw = idx + w
+            hl = self.hlen[iw]
+            ok = (rems >= hl) & (
+                (((ks ^ self.hkey_hi[iw]) & self.hmask_hi[iw])
+                 | ((k2s ^ self.hkey_lo[iw]) & self.hmask_lo[iw])) == 0
+            )
+            hit_idx = np.flatnonzero(ok)
+            if len(hit_idx):
+                tgt = hit_idx if sel is None else sel[hit_idx]
+                code[tgt] = self.hcode[iw[hit_idx]]
+                mlen[tgt] = hl[hit_idx]
+            cont = np.flatnonzero(~ok & (occ > w + 1))
+            if len(cont) == 0:
+                return
+            sel = cont if sel is None else sel[cont]
+            ks, k2s, rems = ks[cont], k2s[cont], rems[cont]
+            idx, occ = idx[cont], occ[cont]
 
 
 def _match(data: np.ndarray, mt: _MatchTables) -> tuple[np.ndarray, np.ndarray]:
-    """Exact longest symbol match at every position (escape if none):
-    returns (code:uint8[n], match_len:int64[n])."""
+    """Exact-matcher-semantics longest symbol match at every position
+    (escape if none): returns (code:uint8[n], match_len:int64[n]).
+    Training-sample path only — the bulk path is _parse_strings."""
     n = len(data)
     code = np.full(n, _ESCAPE, np.uint8)
     mlen = np.ones(n, np.int64)
     if n == 0 or mt.n_sym == 0:
         return code, mlen
     key8 = _window_keys(data)
+    k2 = np.zeros_like(key8)
+    if n > _KEY:
+        k2[:-_KEY] = key8[_KEY:]
 
     c1 = mt.t1[data]
     hit1 = c1 != _ESCAPE
     code[hit1] = c1[hit1]
 
     if n >= 2:
-        k2 = (key8 >> np.uint64(48)).astype(np.uint32)
-        c2 = mt.t2[k2]
+        kk = (key8 >> np.uint64(48)).astype(np.uint32)
+        c2 = mt.t2[kk]
         hit2 = c2 != _ESCAPE
         hit2[n - 1 :] = False
         code[hit2] = c2[hit2]
         mlen[hit2] = 2
 
     rem = n - np.arange(n, dtype=np.int64)
-    mt.long_match(key8, rem, code, mlen)
+    mt.long_match(key8, k2, rem, code, mlen)
     return code, mlen
 
 
@@ -239,15 +278,21 @@ def _match_at(pad: np.ndarray, kview: np.ndarray, p: np.ndarray,
     if mt.n_sym == 0 or m == 0:
         return code, mlen
     k = kview[p].astype(np.uint64)
-    c1 = mt.t1[pad[p]]
-    h = c1 != _ESCAPE
-    code[h] = c1[h]
-    k2 = (k >> np.uint64(48)).astype(np.uint32)
-    c2 = mt.t2[k2]
-    h = (c2 != _ESCAPE) & (rem >= 2)
-    code[h] = c2[h]
-    mlen[h] = 2
-    mt.long_match(k, rem, code, mlen)
+    k2 = kview[p + _KEY].astype(np.uint64)
+    # hash-probe the 3-16-byte symbols FIRST: ~85-90% of text units are
+    # long matches, so the 1-2-byte fallback below runs on the small
+    # compacted miss set instead of paying its gathers everywhere
+    mt.long_match(k, k2, rem, code, mlen)
+    ms = np.flatnonzero(code == _ESCAPE)
+    if len(ms):
+        km = k[ms]
+        c2 = mt.t2[(km >> np.uint64(48)).astype(np.uint32)]
+        h2 = (c2 != _ESCAPE) & (rem[ms] >= 2)
+        c1 = mt.t1[pad[p[ms]]]
+        h1 = (c1 != _ESCAPE) & ~h2
+        code[ms[h2]] = c2[h2]
+        mlen[ms[h2]] = 2
+        code[ms[h1]] = c1[h1]
     return code, mlen
 
 
@@ -257,17 +302,17 @@ def _parse_strings(data: np.ndarray, offsets: np.ndarray,
 
     One frontier position per still-unfinished string; each round does
     the longest-match lookup for the whole frontier at once and
-    advances. Total lookups = number of emitted units (~n/6), and the
-    working set is the frontier (cache-resident), not O(n) key/jump
-    arrays — this is what keeps 32 concurrent workers off the memory
-    bus. Matches never cross string boundaries (rem-capped)."""
+    advances. Total lookups = number of emitted units (~n/8 with 16-byte
+    symbols), and the working set is the frontier (cache-resident), not
+    O(n) key/jump arrays — this is what keeps 32 concurrent workers off
+    the memory bus. Matches never cross string boundaries (rem-capped)."""
     pos = np.ascontiguousarray(offsets[:-1], dtype=np.int64).copy()
     end = np.ascontiguousarray(offsets[1:], dtype=np.int64)
     n = len(data)
-    pad = np.zeros(n + _MAX_LEN, np.uint8)
+    pad = np.zeros(n + _MAX_SYM, np.uint8)
     pad[:n] = data
     kview = np.ndarray(buffer=pad, dtype=">u8",
-                       shape=(len(pad) - _MAX_LEN + 1,), strides=(1,))
+                       shape=(len(pad) - _KEY + 1,), strides=(1,))
     act = np.flatnonzero(pos < end)
     pparts: list[np.ndarray] = []
     cparts: list[np.ndarray] = []
@@ -303,7 +348,14 @@ def _emit(data: np.ndarray, P: np.ndarray, codes: np.ndarray) -> np.ndarray:
 def fsst_train(data: np.ndarray) -> list[bytes]:
     """Iteratively build the symbol table on a sample (the FSST
     bottom-up generation loop: parse with current table, count unit and
-    adjacent-pair gains = count×length, keep the top 255)."""
+    adjacent-pair gains = count×length, keep the top 255).
+
+    Candidate accounting is plain Python over the ≤16 KiB sample (a few
+    thousand units per generation) — faster than the old two-u64-column
+    lexsort at this size and trivially correct for 16-byte merges; the
+    corpus-sized paths stay fully vectorized."""
+    from collections import Counter
+
     n = len(data)
     if n == 0:
         return []
@@ -316,44 +368,26 @@ def fsst_train(data: np.ndarray) -> list[bytes]:
         sample = np.ascontiguousarray(data[idx[idx < n]])
     else:
         sample = data
+    sb = sample.tobytes()
 
     symbols: list[bytes] = []
     for _ in range(_GENERATIONS):
         P, codes, lens = _parse_units(sample, _MatchTables(symbols))
         if len(P) == 0:
             break
-        key8 = _window_keys(sample)
-        ukey = key8[P] >> ((np.uint64(_MAX_LEN) - lens.astype(np.uint64)) * np.uint64(8))
-        # escape units are single literal bytes
-        ukey = np.where(codes == _ESCAPE, sample[P].astype(np.uint64), ukey)
         ulen = np.where(codes == _ESCAPE, 1, lens).astype(np.int64)
-
-        cand_keys = [ukey]
-        cand_lens = [ulen]
-        if len(P) > 1:  # adjacent-pair merges with total length ≤ 8
-            plen = ulen[:-1] + ulen[1:]
-            ok = plen <= _MAX_LEN
-            merged = (ukey[:-1] << (ulen[1:].astype(np.uint64) * np.uint64(8))) | ukey[1:]
-            cand_keys.append(merged[ok])
-            cand_lens.append(plen[ok])
-        keys = np.concatenate(cand_keys)
-        klens = np.concatenate(cand_lens)
-        # group identical (len, key) pairs: lexsort on two u64 columns is
-        # ~5× faster than np.unique on a structured dtype (generic cmp)
-        order = np.lexsort((keys, klens))
-        sk, sl = keys[order], klens[order]
-        first = np.empty(len(sk), bool)
-        first[0] = True
-        first[1:] = (sk[1:] != sk[:-1]) | (sl[1:] != sl[:-1])
-        grp = np.flatnonzero(first)
-        counts = np.diff(np.append(grp, len(sk)))
-        uk, ul = sk[grp], sl[grp]
-        gain = counts * ul
-        top = np.argsort(gain, kind="stable")[::-1][:_MAX_SYMBOLS]
-        symbols = [
-            int(uk[i]).to_bytes(_MAX_LEN, "big")[_MAX_LEN - int(ul[i]):]
-            for i in top
-        ]
+        starts = P.tolist()
+        ends = (P + ulen).tolist()
+        cnt: Counter = Counter()
+        for s0, e0 in zip(starts, ends):
+            cnt[sb[s0:e0]] += 1
+        for i in range(len(starts) - 1):  # adjacent-pair merges ≤ 16 B
+            if ends[i + 1] - starts[i] <= _MAX_SYM:
+                cnt[sb[starts[i]:ends[i + 1]]] += 1
+        # gain = count × length; deterministic tie-break on the bytes
+        ranked = sorted(cnt.items(), key=lambda kv: (-kv[1] * len(kv[0]),
+                                                     kv[0]))
+        symbols = [s for s, _ in ranked[:_MAX_SYMBOLS]]
     return symbols
 
 

@@ -65,7 +65,7 @@ def test_trained_symbols_valid():
     data = np.frombuffer(b"abcabcabcabc" * 100, np.uint8)
     syms = fsst_train(data)
     assert 0 < len(syms) <= 255
-    assert all(1 <= len(s) <= 8 for s in syms)
+    assert all(1 <= len(s) <= 16 for s in syms)
 
 
 @settings(max_examples=60, deadline=None)
