@@ -212,10 +212,13 @@ def _stage_encode(
     else:
         size = None
         try:
-            est = int(
+            est = (
                 df._jdf.queryExecution().optimizedPlan().stats()
-                .sizeInBytes().toString()
+                .sizeInBytes()
             )
+            # py4j returns java.math.BigInteger for huge "unknown"
+            # estimates but a plain int for normal ones — handle both
+            est = int(est.toString()) if hasattr(est, "toString") else int(est)
             if 0 < est < (1 << 50):  # Catalyst "unknown" is huge
                 size = est
         except Exception:
