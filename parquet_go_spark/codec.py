@@ -330,7 +330,9 @@ def _decode_nested(body: memoryview, dt: int, n: int) -> pa.Array:
     return out.cast(typ)
 
 
-def _encode_values(arr: pa.Array, dt: int, codec: int) -> bytes:
+def _encode_values(arr: pa.Array, dt: int, codec: int,
+                   cache: dict | None = None,
+                   name: str | None = None) -> bytes:
     """Codec body over the non-null values of ``arr``."""
     if dt in _NESTED_DTS:
         return _encode_nested(arr, dt)
@@ -400,7 +402,7 @@ def _encode_values(arr: pa.Array, dt: int, codec: int) -> bytes:
     if codec == _C_FSST:
         from .kernels.fsst import fsst_encode
 
-        return fsst_encode(*_str_parts(arr))
+        return fsst_encode(*_str_parts(arr), cache=cache, cache_key=name)
     if codec == _C_PREFIX:
         from .kernels.prefix import prefix_encode
 
@@ -577,7 +579,9 @@ def _decode_values(body: memoryview, dt: int, codec: int, n: int) -> pa.Array:
     return pa.array(v, type=atype)
 
 
-def encode_array(arr: pa.Array, codec: str, entropy: str = "none") -> bytes:
+def encode_array(arr: pa.Array, codec: str, entropy: str = "none",
+                 cache: dict | None = None,
+                 name: str | None = None) -> bytes:
     """Encode one column chunk (a pyarrow Array) into a self-describing blob."""
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
@@ -596,7 +600,7 @@ def encode_array(arr: pa.Array, codec: str, entropy: str = "none") -> bytes:
     else:
         null_sec = struct.pack("<B", 0)
 
-    payload = null_sec + _encode_values(arr, dt, cid)
+    payload = null_sec + _encode_values(arr, dt, cid, cache, name)
     eid = ENTROPIES[entropy]
     raw_len = len(payload)
     if eid == 1:

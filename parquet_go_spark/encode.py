@@ -188,10 +188,11 @@ def _encode_list_struct_shredded(arr: pa.Array) -> tuple[dict, dict]:
 def _encode_one_column(arr: pa.Array, name: str,
                        override: tuple[str, str] | None,
                        with_bloom: bool = False,
-                       with_token_bloom: bool = False) -> tuple[bytes, dict]:
+                       with_token_bloom: bool = False,
+                       cache: dict | None = None) -> tuple[bytes, dict]:
     st = profile_array(arr, name)
     codec, entropy = override if override else choose_codec(st)
-    blob = encode_array(arr, codec, entropy)
+    blob = encode_array(arr, codec, entropy, cache=cache, name=name)
     # patched-FOR upgrade: when outliers inflate the frame width (e.g.
     # cross-conversation ts jumps in a sorted chunk), the PFOR sibling
     # usually wins — encode both, keep the smaller (cheap for numerics)
@@ -324,7 +325,8 @@ def _encode_or_reuse(chunk: pa.Table, chunk_id: str, table_dir: str,
                      key_cols: tuple[str, ...], overrides: dict,
                      resume: bool, bloom_cols: tuple[str, ...],
                      attempt: str,
-                     token_bloom_cols: tuple[str, ...] = ()) -> dict:
+                     token_bloom_cols: tuple[str, ...] = (),
+                     cache: dict | None = None) -> dict:
     """Encode one chunk table → write its file → manifest entry; reuse
     a committed fingerprint-identical chunk when ``resume``."""
     fpath = os.path.join(table_dir, "chunks", f"chunk-{chunk_id}.parquet")
@@ -356,6 +358,7 @@ def _encode_or_reuse(chunk: pa.Table, chunk_id: str, table_dir: str,
             arr, name, overrides.get(name),
             with_bloom=name in bloom_cols,
             with_token_bloom=name in token_bloom_cols,
+            cache=cache,
         )
         columns_meta[name] = meta
         blobs[BLOB_COL_PREFIX + name] = blob
@@ -428,12 +431,17 @@ def make_encode_fn(table_dir: str, key_cols: tuple[str, ...],
         # are sorted by _ck first, so each chunk is a contiguous slice.
         bounds = np.flatnonzero(np.diff(ck)) + 1
         starts = np.concatenate([[0], bounds, [len(ck)]])
+        # one symbol-table cache per TASK: consecutive chunks of a
+        # column share a trained FSST table (determinism: the cache
+        # never outlives the task, and chunk order in it is fixed)
+        enc_cache: dict = {}
         for i in range(len(starts) - 1):
             lo, hi = int(starts[i]), int(starts[i + 1])
             chunk_id = f"{chunk_prefix}{int(ck[lo]):06d}"
             entry = _encode_or_reuse(
                 data.slice(lo, hi - lo), chunk_id, table_dir, key_cols,
                 overrides, resume, bloom_cols, attempt, token_bloom_cols,
+                cache=enc_cache,
             )
             yield pa.RecordBatch.from_pydict(
                 {"chunk_id": pa.array([chunk_id]),
@@ -461,6 +469,7 @@ def make_direct_encode_fn(table_dir: str, key_cols: tuple[str, ...],
 
         tc = TaskContext.get()
         attempt = f"task{tc.taskAttemptId()}" if tc else "local"
+        enc_cache: dict = {}
         for b in batches:
             for row in range(b.num_rows):
                 chunk_id = b.column("chunk_id")[row].as_py()
@@ -474,7 +483,7 @@ def make_direct_encode_fn(table_dir: str, key_cols: tuple[str, ...],
                 tbl = tbl.take(idx).combine_chunks()
                 entry = _encode_or_reuse(
                     tbl, chunk_id, table_dir, key_cols, overrides,
-                    resume, bloom_cols, attempt,
+                    resume, bloom_cols, attempt, cache=enc_cache,
                 )
                 yield pa.RecordBatch.from_pydict(
                     {"chunk_id": pa.array([chunk_id]),

@@ -424,12 +424,39 @@ def fsst_train(data: np.ndarray) -> list[bytes]:
     return symbols
 
 
-def fsst_encode(lengths: np.ndarray, data: np.ndarray) -> bytes:
-    """Encode a contiguous string column (lengths + concatenated bytes)."""
+# Reuse guard for cross-chunk symbol-table sharing: a cached table is
+# kept while the payload ratio it achieves stays within 15% (relative)
+# of the ratio measured on the chunk it was trained on; beyond that the
+# chunk retrains (one extra parse — the bound on how much a drifting
+# corpus can lose to a stale table).
+_REUSE_GUARD = 1.15
+
+
+def fsst_encode(lengths: np.ndarray, data: np.ndarray,
+                cache: dict | None = None,
+                cache_key: str | None = None) -> bytes:
+    """Encode a contiguous string column (lengths + concatenated bytes).
+
+    ``cache`` (per encode TASK, created by the mapInArrow kernel) lets
+    consecutive chunks of the same column reuse one trained symbol
+    table: training costs ~25% of a chunk encode, and within a task the
+    chunks are adjacent ``(conv_id, turn_idx)`` ranges of one column, so
+    one table fits them all. Every blob still embeds its own table —
+    chunks stay independently decodable — and the cache lives only for
+    one task, so output bytes stay deterministic for a given
+    partitioning. A ratio guard retrains when the cached table fits a
+    chunk >15% worse than the chunk it was trained on."""
     data = np.ascontiguousarray(data, dtype=np.uint8)
     lengths = np.ascontiguousarray(lengths, dtype=np.int64)
-    symbols = fsst_train(data)
-    mt = _MatchTables(symbols)
+    key = ("fsst", cache_key)
+    cached = (cache.get(key)
+              if cache is not None and cache_key is not None else None)
+    if cached is not None:
+        symbols, mt, trained_ratio = cached
+    else:
+        symbols = fsst_train(data)
+        mt = _MatchTables(symbols)
+        trained_ratio = None
     offsets = np.zeros(len(lengths) + 1, np.int64)
     np.cumsum(lengths, out=offsets[1:])
     # pseudo-split long strings so the lockstep frontier stays wide
@@ -449,19 +476,32 @@ def fsst_encode(lengths: np.ndarray, data: np.ndarray) -> bytes:
     # gathers stay cache-resident however large the chunk is (a 26 MB
     # buffer per worker re-saturates the memory bus at 32-way
     # concurrency). Exact: the parse is per-string anyway.
-    parts = []
-    n_str = len(parse_off) - 1
-    i = 0
-    while i < n_str:
-        j = int(np.searchsorted(parse_off, parse_off[i] + _ENCODE_BLOCK,
-                                side="left"))
-        j = min(max(j, i + 1), n_str)
-        seg = data[parse_off[i] : parse_off[j]]
-        seg_off = parse_off[i : j + 1] - parse_off[i]
-        P, codes = _parse_strings(seg, seg_off, mt)
-        parts.append(_emit(seg, P, codes))
-        i = j
-    enc = (np.concatenate(parts) if parts else np.zeros(0, np.uint8))
+    def _payload(mt_):
+        parts = []
+        n_str = len(parse_off) - 1
+        i = 0
+        while i < n_str:
+            j = int(np.searchsorted(parse_off, parse_off[i] + _ENCODE_BLOCK,
+                                    side="left"))
+            j = min(max(j, i + 1), n_str)
+            seg = data[parse_off[i] : parse_off[j]]
+            seg_off = parse_off[i : j + 1] - parse_off[i]
+            P, codes = _parse_strings(seg, seg_off, mt_)
+            parts.append(_emit(seg, P, codes))
+            i = j
+        return (np.concatenate(parts) if parts else np.zeros(0, np.uint8))
+
+    enc = _payload(mt)
+    ratio = len(enc) / max(len(data), 1)
+    if cached is not None and ratio > trained_ratio * _REUSE_GUARD:
+        # stale table (corpus drifted past the guard) — retrain here
+        symbols = fsst_train(data)
+        mt = _MatchTables(symbols)
+        enc = _payload(mt)
+        ratio = len(enc) / max(len(data), 1)
+        cache[key] = (symbols, mt, ratio)
+    elif cached is None and cache is not None and cache_key is not None:
+        cache[key] = (symbols, mt, ratio)
 
     len_blob = for_encode(np.ascontiguousarray(lengths, dtype=np.int64))
     sym_lens = bytes(len(s) for s in symbols)

@@ -68,8 +68,12 @@ def pfor_encode(vals: np.ndarray) -> bytes:
     n = len(v)
     if n == 0:
         return struct.pack("<QqBI", 0, 0, 0, 0)
-    if n > 1 << 14:  # width/anchor selection on a stride sample
-        w, ref = _best_window(v[:: max(1, n // (1 << 13))])
+    if n > 1 << 12:  # width/anchor selection on a stride sample
+        # ~4k values pin the width/anchor choice as well as the full
+        # distribution (exceptions are still detected exactly below);
+        # the W×n searchsorted in _best_window is quadratic-ish in
+        # sample size and was ~10% of a whole chunk encode at 12.8k
+        w, ref = _best_window(v[:: max(1, n // (1 << 12))])
     else:
         w, ref = _best_window(v)
     shifted = v.view(np.uint64) - np.int64(ref).astype(np.uint64)
