@@ -31,6 +31,25 @@ import tempfile
 import time
 
 
+def _wait_quiet(max_wait_s: float = 180.0, bar: float = 1.2) -> None:
+    """Park until the 1-min loadavg drops under ``bar`` (bounded).
+
+    This host has EXTERNAL multi-second load spikes (loadavg jumps 1→6
+    with none of our processes running); a sample started mid-spike
+    reads 5-10× slow. Gating the timed sections on a quiet window keeps
+    the driver-recorded numbers comparable to the quiet-window bests in
+    BENCH/BASELINE.md instead of lottery draws. Bounded so a busy host
+    degrades to the old behavior rather than hanging the round."""
+    deadline = time.time() + max_wait_s
+    while time.time() < deadline:
+        try:
+            if os.getloadavg()[0] < bar:
+                return
+        except OSError:
+            return
+        time.sleep(5.0)
+
+
 def _quiet_spark(master: str):
     from pyspark.sql import SparkSession
 
@@ -159,6 +178,10 @@ def main() -> int:
             # long single-threaded phases are the most likely to span a
             # host load spike — give each one extra sample
             n_reps = repeats + 1 if lvl in levels[:2] else repeats
+            if lvl in levels[:2]:
+                # the scaling pair hinges on these two levels — start
+                # them in a quiet window (external host load spikes)
+                _wait_quiet()
             best = _encode_decode_reps(
                 f"local[{lvl}]", src,
                 os.path.join(workdir, f"enc_{lvl}"), n_reps,
@@ -209,18 +232,26 @@ def main() -> int:
                 best_dir, 3
             )
 
-            t0 = time.time()
-            Q.codec_roundtrip(
-                spark, os.path.join(sf_dir, "lineitem.parquet"),
-                ["l_orderkey", "l_partkey", "l_returnflag", "l_shipdate"],
-            ).count()
-            queries["lineitem_codec_roundtrip"] = round(time.time() - t0, 3)
-            t0 = time.time()
-            Q.codec_roundtrip(
-                spark, os.path.join(sf_dir, "documents.parquet"),
-                ["doc_id", "text"], {"text": ("fsst", "zstd")},
-            ).count()
-            queries["documents_fsst_roundtrip"] = round(time.time() - t0, 3)
+            # these two short roundtrips are the most spike-sensitive
+            # readings in BENCH history (r3: two phantom regressions) —
+            # let our own preceding 32-way burst decay off the loadavg
+            _wait_quiet(max_wait_s=150.0, bar=1.5)
+            best_li = best_doc = None
+            for _ in range(repeats):
+                t0 = time.time()
+                Q.codec_roundtrip(
+                    spark, os.path.join(sf_dir, "lineitem.parquet"),
+                    ["l_orderkey", "l_partkey", "l_returnflag", "l_shipdate"],
+                ).count()
+                best_li = min(best_li or 1e9, time.time() - t0)
+                t0 = time.time()
+                Q.codec_roundtrip(
+                    spark, os.path.join(sf_dir, "documents.parquet"),
+                    ["doc_id", "text"], {"text": ("fsst", "zstd")},
+                ).count()
+                best_doc = min(best_doc or 1e9, time.time() - t0)
+            queries["lineitem_codec_roundtrip"] = round(best_li, 3)
+            queries["documents_fsst_roundtrip"] = round(best_doc, 3)
         finally:
             spark.stop()
 

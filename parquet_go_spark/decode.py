@@ -166,6 +166,34 @@ def make_decode_fn(columns: list[str], verify_crc: bool = True,
             evalid = None
         return n, valid, typ, offs, evalid
 
+    def _parse_map_shell(shell):
+        """v3 shell (map<string,V> shred): map validity + arrow type +
+        PFOR-coded kv offsets over ALL n rows + key dictionary + the
+        dict-coded per-position key-index stream."""
+        import struct as _s
+
+        n, n_valid, valid, typ, pos = _parse_shell(shell)
+        (olen,) = _s.unpack_from("<I", shell, pos)
+        pos += 4
+        offs = decode_array(bytes(memoryview(shell)[pos : pos + olen])) \
+            .to_numpy(zero_copy_only=False)
+        pos += olen
+        n_keys, kdlen = _s.unpack_from("<HI", shell, pos)
+        pos += 6
+        key_names = []
+        kd = memoryview(shell)[pos : pos + kdlen]
+        kpos = 0
+        for _ in range(n_keys):
+            (klen,) = _s.unpack_from("<H", kd, kpos)
+            key_names.append(bytes(kd[kpos + 2 : kpos + 2 + klen]).decode())
+            kpos += 2 + klen
+        pos += kdlen
+        (ilen,) = _s.unpack_from("<I", shell, pos)
+        pos += 4
+        kidx = decode_array(bytes(memoryview(shell)[pos : pos + ilen])) \
+            .to_numpy(zero_copy_only=False)
+        return n, valid, typ, offs, key_names, kidx
+
     def _expand_nulls(arr, n, valid):
         if valid is None:
             return arr
@@ -218,9 +246,14 @@ def make_decode_fn(columns: list[str], verify_crc: bool = True,
                 for c in present:
                     base, _, sub = c.partition(".")
                     m = ecols[base]
-                    if m.get("codec") in ("struct_shred", "list_shred"):
+                    if m.get("codec") in ("struct_shred", "list_shred",
+                                          "map_shred"):
                         file_cols.append(BLOB_COL_PREFIX + base)  # shell
                         kids = [sub] if sub else list(m["children"])
+                        if m["codec"] == "map_shred" and sub:
+                            # a key absent from this chunk is simply an
+                            # all-null projection, not a missing column
+                            kids = [k for k in kids if k in m["children"]]
                         file_cols += [
                             BLOB_COL_PREFIX + f"{base}.{k}" for k in kids
                         ]
@@ -314,8 +347,79 @@ def make_decode_fn(columns: list[str], verify_crc: bool = True,
                                 n_elems, evalid,
                             )
                         return _as_list(st_arr).cast(typ)
-                    if sub:  # non-shredded struct: decode + prune
+                    if m.get("codec") == "map_shred":
+                        import numpy as np
+
+                        shell = t.column(BLOB_COL_PREFIX + base)[0].as_py()
+                        if verify_crc and zlib.crc32(shell) != m["crc32"]:
+                            raise IOError(
+                                f"CRC mismatch for {base} shell in {fpath}"
+                            )
+                        n, valid, typ, offs, key_names, kidx = \
+                            _parse_map_shell(shell)
+
+                        if sub:  # per-key projection: value of FIRST
+                            # occurrence per row (pc.map_lookup parity),
+                            # null where the key is absent
+                            if sub not in key_names:
+                                want = column_types.get(name, typ.item_type)
+                                return pa.nulls(n, want)
+                            vals = _child(base, sub)
+                            i = key_names.index(sub)
+                            pos = np.flatnonzero(kidx == i)
+                            rows = np.searchsorted(offs, pos,
+                                                   side="right") - 1
+                            hit_rows, first = np.unique(rows,
+                                                        return_index=True)
+                            idx = np.zeros(n, dtype=np.int64)
+                            idx[hit_rows] = first
+                            present = np.zeros(n, dtype=bool)
+                            present[hit_rows] = True
+                            out = vals.take(pa.array(
+                                idx, type=pa.int64(), mask=~present
+                            ))
+                            want = column_types.get(name)
+                            return (out.cast(want)
+                                    if want is not None and out.type != want
+                                    else out)
+                        # full reconstruction: keys from the index
+                        # stream, items scattered back from per-key
+                        # blobs (stream order within each key)
+                        total = len(kidx)
+                        keys_arr = (
+                            pc.take(pa.array(key_names, typ.key_type),
+                                    pa.array(kidx, pa.int64()))
+                            if total else pa.array([], typ.key_type)
+                        )
+                        children = [_child(base, k) for k in key_names]
+                        if total:
+                            counts = np.bincount(kidx,
+                                                 minlength=len(key_names))
+                            starts = np.zeros(len(key_names), np.int64)
+                            np.cumsum(counts[:-1], out=starts[1:])
+                            order = np.argsort(kidx, kind="stable")
+                            rank = np.empty(total, np.int64)
+                            rank[order] = np.arange(total)
+                            src = (pa.concat_arrays(children)
+                                   if children else
+                                   pa.array([], typ.item_type))
+                            items_arr = src.take(pa.array(rank, pa.int64()))
+                        else:
+                            items_arr = pa.array([], typ.item_type)
+                        omask = (np.concatenate([~valid, [False]])
+                                 if valid is not None else None)
+                        off_pa = pa.array(offs.astype(np.int32),
+                                          type=pa.int32(), mask=omask)
+                        return pa.MapArray.from_arrays(
+                            off_pa, keys_arr, items_arr
+                        ).cast(typ)
+                    if sub:  # non-shredded nested: decode + prune
                         full = _decode_blob(base)
+                        if pa.types.is_map(full.type):
+                            # generic-path map (unsuitable keys): decode
+                            # the whole blob, then arrow's map_lookup
+                            return pc.map_lookup(full, query_key=sub,
+                                                 occurrence="first")
                         return pc.struct_field(full, sub)
                     blob = t.column(BLOB_COL_PREFIX + name)[0].as_py()
                     if verify_crc:

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import tempfile
 import time
 import zlib
@@ -172,6 +173,124 @@ def _encode_list_struct_shredded(arr: pa.Array) -> tuple[dict, dict]:
         }
     meta = {
         "codec": "list_shred",
+        "entropy": "none",
+        "n": n,
+        "nulls": arr.null_count,
+        "min": None,
+        "max": None,
+        "raw_bytes": int(arr.nbytes),
+        "enc_bytes": sum(len(b) for b in blobs.values()),
+        "crc32": zlib.crc32(shell),
+        "children": children_meta,
+    }
+    return blobs, meta
+
+
+# Map shredding guard: per-key value blobs only make sense for the
+# bounded-key-set telemetry shape (attrs maps with a handful of fixed
+# keys). High-cardinality or unruly keys fall back to the generic
+# nested codec — correctness is identical, only projection I/O differs.
+MAP_SHRED_MAX_KEYS = 32
+_MAP_KEY_OK = re.compile(r"[A-Za-z0-9_\-]{1,64}$")
+
+
+def _encode_map_shredded(arr: pa.Array) -> tuple[dict, dict] | None:
+    """Shred a map<string,V> column per KEY: one self-describing value
+    blob per distinct key (stored as its own parquet column) plus a
+    shell carrying validity, arrow type, per-row kv offsets and the
+    dict-coded key stream. ``read_table(columns=["attrs.k"])`` then
+    reads the shell + ONE key's value bytes (SURVEY §1.2 MAP row) —
+    other keys' values are never touched on disk.
+
+    Exact reconstruction: the key stream remembers each row's key order
+    (duplicates included), and per-key blobs hold that key's values in
+    stream order, so the full map round-trips bit-identically.
+
+    Returns None when the chunk's keys are unsuitable (non-string keys,
+    null keys, > MAP_SHRED_MAX_KEYS distinct, or names that don't fit a
+    parquet column) — the caller falls back to the generic path."""
+    import struct as _s
+
+    import pyarrow.compute as pc
+
+    from .codec import _type_bytes, encode_array
+    from .kernels.rle import rle_encode
+    from .plan import choose_codec, profile_array
+
+    if not (pa.types.is_string(arr.type.key_type)
+            or pa.types.is_large_string(arr.type.key_type)):
+        return None
+    n = len(arr)
+    a = arr.drop_null() if arr.null_count else arr
+    if len(a):
+        off = np.frombuffer(a.buffers()[1], np.int32, len(a) + 1,
+                            offset=a.offset * 4).astype(np.int64)
+        lo, hi = int(off[0]), int(off[-1])
+        keys = a.keys.slice(lo, hi - lo)
+        items = a.items.slice(lo, hi - lo)
+    else:
+        keys = pa.array([], arr.type.key_type)
+        items = pa.array([], arr.type.item_type)
+    if keys.null_count:
+        return None
+    uk = pc.unique(keys)
+    if len(uk) > MAP_SHRED_MAX_KEYS:
+        return None
+    key_names = sorted(uk.to_pylist())
+    if any(not _MAP_KEY_OK.match(k) for k in key_names):
+        return None
+
+    tb = _type_bytes(arr.type)
+    if arr.null_count:
+        valid = arr.is_valid().to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+        mask = rle_encode(valid, 1)
+        shell = (_s.pack("<BQB", 3, n, 1)
+                 + _s.pack("<QI", n - arr.null_count, len(mask)) + mask)
+    else:
+        shell = _s.pack("<BQB", 3, n, 0)
+    shell += _s.pack("<I", len(tb)) + tb
+    # per-row kv counts over ALL n rows (null map → 0), like list shred
+    # (pyarrow has no list_value_length kernel for maps — use the
+    # offsets buffer; null slots may span garbage extents, zero them)
+    if n:
+        off_all = np.frombuffer(arr.buffers()[1], np.int32, n + 1,
+                                offset=arr.offset * 4).astype(np.int64)
+        lens_np = np.diff(off_all)
+        if arr.null_count:
+            vmask = arr.is_valid().to_numpy(zero_copy_only=False)
+            lens_np = np.where(vmask, lens_np, 0)
+    else:
+        lens_np = np.zeros(0, np.int64)
+    offs = np.zeros(n + 1, np.int64)
+    np.cumsum(lens_np, out=offs[1:])
+    off_blob = encode_array(pa.array(offs, pa.int64()), "pfor", "none")
+    shell += _s.pack("<I", len(off_blob)) + off_blob
+    # key dictionary (sorted) + per-position key indices (dict/RLE'd)
+    kd = b"".join(_s.pack("<H", len(k.encode())) + k.encode()
+                  for k in key_names)
+    shell += _s.pack("<HI", len(key_names), len(kd)) + kd
+    kidx = pc.index_in(keys, value_set=pa.array(key_names, keys.type)) \
+        .cast(pa.int32())
+    kidx_blob = encode_array(kidx, "dict", "none")
+    shell += _s.pack("<I", len(kidx_blob)) + kidx_blob
+
+    blobs = {"": shell}
+    children_meta = {}
+    ki = kidx.to_numpy(zero_copy_only=False)
+    for i, kname in enumerate(key_names):
+        vals = items.filter(pa.array(ki == i))
+        vals = (vals.combine_chunks()
+                if isinstance(vals, pa.ChunkedArray) else vals)
+        c, e = choose_codec(profile_array(vals, kname))
+        blob = encode_array(vals, c, e)
+        blobs[kname] = blob
+        children_meta[kname] = {
+            "codec": c, "entropy": e, "enc_bytes": len(blob),
+            "crc32": zlib.crc32(blob),
+        }
+    meta = {
+        "codec": "map_shred",
         "entropy": "none",
         "n": n,
         "nulls": arr.null_count,
@@ -347,13 +466,17 @@ def _encode_or_reuse(chunk: pa.Table, chunk_id: str, table_dir: str,
         elif ((pa.types.is_list(arr.type) or pa.types.is_large_list(arr.type))
                 and pa.types.is_struct(arr.type.value_type)):
             shredder = _encode_list_struct_shredded
+        elif pa.types.is_map(arr.type):
+            shredder = _encode_map_shredded  # may decline (None)
         if shredder is not None and name not in overrides:
-            parts, meta = shredder(arr)
-            columns_meta[name] = meta
-            for suffix, blob in parts.items():
-                key = name if suffix == "" else f"{name}.{suffix}"
-                blobs[BLOB_COL_PREFIX + key] = blob
-            continue
+            shredded = shredder(arr)
+            if shredded is not None:
+                parts, meta = shredded
+                columns_meta[name] = meta
+                for suffix, blob in parts.items():
+                    key = name if suffix == "" else f"{name}.{suffix}"
+                    blobs[BLOB_COL_PREFIX + key] = blob
+                continue
         blob, meta = _encode_one_column(
             arr, name, overrides.get(name),
             with_bloom=name in bloom_cols,

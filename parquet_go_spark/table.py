@@ -15,7 +15,7 @@ import math
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructField, StructType
+from pyspark.sql.types import MapType, StructField, StructType
 
 from . import manifest
 from .decode import make_decode_fn, prune_entries
@@ -538,9 +538,14 @@ def read_table(
                 if child is None:
                     raise KeyError(f"struct {base!r} has no field {sub!r}")
                 fields.append(StructField(c, child.dataType, nullable=True))
+            elif isinstance(dt, MapType):
+                # map-key projection: "attrs.k" → the value under key
+                # "k" per row (null where absent). Shredded map chunks
+                # read only the shell + that key's value blob.
+                fields.append(StructField(c, dt.valueType, nullable=True))
             else:
-                raise KeyError(f"{base!r} is not a struct or "
-                               f"array<struct>; cannot project {c!r}")
+                raise KeyError(f"{base!r} is not a struct, array<struct> "
+                               f"or map; cannot project {c!r}")
         else:
             fields.append(
                 StructField(f.name, f.dataType, nullable=True,

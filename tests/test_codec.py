@@ -411,3 +411,66 @@ def test_wide_decimal_two_halves_pack():
     arr2 = pa.array(huge, type=pa.decimal128(38, 0))
     blob2 = encode_array(arr2, "plain", "zstd")
     assert decode_array(blob2).equals(arr2)
+
+
+def test_map_shred_kernel_roundtrip_and_projection(tmp_path):
+    """map<string,V> shredding (SURVEY §1.2 MAP row): per-key value
+    blobs + a shell with the dict-coded key stream. Exact round-trip
+    incl. duplicate keys, null values, null and empty maps; per-key
+    projection returns the FIRST occurrence (pc.map_lookup parity);
+    unsuitable keys (cardinality, dots) decline to the generic path."""
+    import os
+
+    from parquet_go_spark import encode as E
+    from parquet_go_spark.decode import make_decode_fn
+
+    t = pa.map_(pa.string(), pa.int64())
+    arr = pa.array(
+        [[("a", 1), ("b", 2)], None, [], [("b", 5)], [("a", None)],
+         [("a", 3), ("a", 4)]],  # dup key: first occurrence projects
+        type=t,
+    )
+    chunk = pa.table({"id": pa.array(range(6), pa.int64()), "attrs": arr})
+    tdir = str(tmp_path)
+    os.makedirs(os.path.join(tdir, "chunks"), exist_ok=True)
+    entry = E._encode_or_reuse(chunk, "m00001", tdir, ("id",), {}, False,
+                               (), "a0")
+    assert entry["columns"]["attrs"]["codec"] == "map_shred"
+    assert set(entry["columns"]["attrs"]["children"]) == {"a", "b"}
+    batch = pa.RecordBatch.from_pydict(
+        {"file": pa.array([os.path.join(tdir, entry["file"])])}
+    )
+
+    fn = make_decode_fn(["id", "attrs"])
+    out = pa.Table.from_batches(list(fn(iter([batch]))))
+    assert out.column("attrs").combine_chunks().equals(arr)
+
+    fn = make_decode_fn(["attrs.a"], column_types={"attrs.a": pa.int64()})
+    out = pa.Table.from_batches(list(fn(iter([batch]))))
+    assert out.column("attrs.a").to_pylist() == [1, None, None, None,
+                                                 None, 3]
+    fn = make_decode_fn(["attrs.zz"], column_types={"attrs.zz": pa.int64()})
+    out = pa.Table.from_batches(list(fn(iter([batch]))))
+    assert out.column("attrs.zz").to_pylist() == [None] * 6
+
+    # guards: >MAP_SHRED_MAX_KEYS distinct or parquet-unsafe key names
+    assert E._encode_map_shredded(
+        pa.array([[(f"k{j}", j)] for j in range(40)], type=t)
+    ) is None
+    assert E._encode_map_shredded(
+        pa.array([[("a.b", 1)]], type=t)
+    ) is None
+
+    # generic fallback still answers "attrs.k" via pc.map_lookup
+    dotted = pa.array([[("a.b", 1), ("c", 2)], [("c", 9)]], type=t)
+    chunk2 = pa.table({"id": pa.array([0, 1], pa.int64()),
+                       "attrs": dotted})
+    e2 = E._encode_or_reuse(chunk2, "g00001", tdir, ("id",), {}, False,
+                            (), "a0")
+    assert e2["columns"]["attrs"]["codec"] != "map_shred"
+    b2 = pa.RecordBatch.from_pydict(
+        {"file": pa.array([os.path.join(tdir, e2["file"])])}
+    )
+    fn = make_decode_fn(["attrs.c"], column_types={"attrs.c": pa.int64()})
+    out = pa.Table.from_batches(list(fn(iter([b2]))))
+    assert out.column("attrs.c").to_pylist() == [2, 9]

@@ -1268,3 +1268,55 @@ def test_distributed_expire_never_materializes_entries(spark, tmp_path,
         spark, out, predicates={"conv_id": (None, "conv-99999999")}
     )
     assert got.count() == df.count()
+
+
+def test_map_shredding_projects_key_bytes(spark, transcripts, tmp_path):
+    """map<string,V> columns shred per KEY (SURVEY §1.2 MAP row): the
+    shell keeps offsets + the dict-coded key stream, one value blob per
+    distinct key — read_table(columns=["attrs.k"]) reads only that
+    key's value bytes. Full-column and key reads both round-trip,
+    incl. null maps; semantics match Spark's element_at."""
+    import pyarrow.parquet as pq
+    import pyspark.sql.functions as F
+
+    df = transcripts.withColumn(
+        "attrs",
+        F.when(F.col("turn_idx") % 7 == 0, F.lit(None)).otherwise(
+            F.create_map(
+                F.lit("role"), F.col("role"),
+                F.lit("payload"), F.col("text"),
+            )
+        ),
+    ).drop("text")
+    out = str(tmp_path / "tbl")
+    table.write_table(df, out, num_chunks=3)
+    listing = manifest.load(out)
+    meta = listing["entries"][0]["columns"]["attrs"]
+    assert meta["codec"] == "map_shred"
+    assert set(meta["children"]) == {"role", "payload"}
+    # on-disk: payload (=text) dominates; shell+role are a small
+    # fraction — projecting attrs.role skips the payload bytes
+    f = glob.glob(os.path.join(out, "chunks", "*.parquet"))[0]
+    rg = pq.ParquetFile(f).metadata.row_group(0)
+    sizes = {rg.column(i).path_in_schema: rg.column(i).total_compressed_size
+             for i in range(rg.num_columns)}
+    assert (sizes["b_attrs.role"] + sizes["b_attrs"]
+            < sizes["b_attrs.payload"] / 2)
+    # full round-trip (set-ops reject MAP — compare via map_entries)
+    back = table.read_table(spark, out)
+    flat = lambda d: d.withColumn("attrs", F.map_entries("attrs"))  # noqa: E731
+    res = table.verify_roundtrip(flat(df), flat(back),
+                                 ("conv_id", "turn_idx"))
+    assert res["identical"], res
+    # key projection: one flat column, element_at parity
+    proj = table.read_table(spark, out,
+                            columns=["conv_id", "turn_idx", "attrs.role"])
+    want = df.select(
+        "conv_id", "turn_idx",
+        F.element_at("attrs", F.lit("role")).alias("attrs.role"),
+    )
+    assert proj.exceptAll(want).count() == 0
+    assert want.exceptAll(proj).count() == 0
+    got_nulls = proj.filter(F.col("`attrs.role`").isNull()).count()
+    assert got_nulls == df.filter(F.col("attrs").isNull()).count()
+    assert got_nulls > 0
