@@ -228,7 +228,8 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, lang, text, n_chars AS nc FROM documents",
         "nested_prune":
             "SELECT event_id, user_id AS meta_u, "
-            "CASE WHEN event_id % 5 <> 0 THEN value END AS meta_v "
+            "CASE WHEN event_id % 5 <> 0 THEN value END AS meta_v, "
+            "CASE WHEN event_id % 11 <> 0 THEN event_type END AS attr_et "
             "FROM events",
         "nested_list_prune": """
             WITH t AS (

@@ -85,9 +85,17 @@ def roundtrip_df(df: DataFrame, codec=None) -> DataFrame:
 
 
 def codec_roundtrip(spark: SparkSession, path: str, columns: list[str],
-                    codec=None) -> DataFrame:
-    """encode→decode ``columns`` of a parquet table through the codec."""
-    return roundtrip_df(spark.read.parquet(path).select(*columns), codec)
+                    codec=None, parallelism: int | None = None) -> DataFrame:
+    """encode→decode ``columns`` of a parquet table through the codec.
+
+    ``parallelism`` adds a round-robin exchange before the kernel: a
+    single-row-group parquet input otherwise scans as ONE task and the
+    whole codec pass runs on one core — the same cluster-width sizing
+    the real encode path applies (table._stage_encode)."""
+    df = spark.read.parquet(path).select(*columns)
+    if parallelism:
+        df = df.repartition(parallelism)
+    return roundtrip_df(df, codec)
 
 
 # ---------------------------------------------------------------- codecs
@@ -267,7 +275,10 @@ def q_selective_revenue(spark, sf_dir):
 def q_nested_prune(spark, sf_dir):
     """Dremel-style nested projection: a struct column is shredded into
     per-child blob columns at encode; reading ``meta.u`` decodes (and
-    reads from storage) only that child's bytes + the validity shell."""
+    reads from storage) only that child's bytes + the validity shell.
+    Also covers map<string,V> per-KEY shredding (SURVEY §1.2 MAP row):
+    ``attrs.et`` reads the shell + one key's value blob and returns the
+    value under that key per row (null for null maps)."""
     ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
     df = ev.select(
         "event_id",
@@ -276,15 +287,20 @@ def q_nested_prune(spark, sf_dir):
             F.col("event_type").alias("e"),
             F.when(F.col("event_id") % 5 != 0, F.col("value")).alias("v"),
         ).alias("meta"),
+        F.when(F.col("event_id") % 11 != 0, F.create_map(
+            F.lit("et"), F.col("event_type"),
+            F.lit("src"), F.upper(F.col("event_type")),
+        )).alias("attrs"),
     )
     out = os.path.join(tempfile.mkdtemp(prefix="pgs_shred_"), "events")
     table.write_table(df, out, key_cols=("event_id",), num_chunks=4)
     flat = table.read_table(spark, out, columns=["event_id", "meta.u",
-                                                 "meta.v"])
+                                                 "meta.v", "attrs.et"])
     return flat.select(
         "event_id",
         F.col("`meta.u`").alias("meta_u"),
         F.col("`meta.v`").alias("meta_v"),
+        F.col("`attrs.et`").alias("attr_et"),
     )
 
 
