@@ -148,3 +148,55 @@ def test_list_of_struct_generic_codec(vals):
         pa.list_(pa.struct([("name", pa.string()), ("v", pa.int64())])),
     )
     _roundtrip(arr)
+
+
+@settings(max_examples=25, deadline=None)
+@given(vals=st.lists(
+    st.one_of(
+        st.none(),
+        st.lists(
+            st.tuples(
+                st.sampled_from(["a", "bb", "c-3", "k_9", "weird.key"]),
+                st.one_of(st.none(), SMALL),
+            ),
+            max_size=4,
+        ),
+    ),
+    max_size=60,
+))
+def test_map_shred_property(vals, tmp_path_factory):
+    """map<string,V> through the chunk layer: any key pattern —
+    duplicates, null values, null/empty maps — must reconstruct
+    bit-identically whether the chunk took the per-key shredded path or
+    declined to the generic codec ('weird.key' forces the fallback),
+    and per-key projection must equal a first-occurrence scan."""
+    import os
+
+    from parquet_go_spark import encode as E
+    from parquet_go_spark.decode import make_decode_fn
+
+    arr = pa.array(vals, pa.map_(pa.string(), pa.int64()))
+    chunk = pa.table(
+        {"id": pa.array(range(len(vals)), pa.int64()), "m": arr}
+    )
+    tdir = str(tmp_path_factory.mktemp("mapshred"))
+    os.makedirs(os.path.join(tdir, "chunks"), exist_ok=True)
+    entry = E._encode_or_reuse(chunk, "h00001", tdir, ("id",), {}, False,
+                               (), "a0")
+    batch = pa.RecordBatch.from_pydict(
+        {"file": pa.array([os.path.join(tdir, entry["file"])])}
+    )
+    out = pa.Table.from_batches(
+        list(make_decode_fn(["id", "m"])(iter([batch])))
+    )
+    got = out.column("m").combine_chunks()
+    assert got.equals(arr), (entry["columns"]["m"]["codec"], got, arr)
+
+    fn = make_decode_fn(["m.a"], column_types={"m.a": pa.int64()})
+    out = pa.Table.from_batches(list(fn(iter([batch]))))
+    want = [
+        (next((v for k, v in row if k == "a"), None)
+         if row is not None and any(k == "a" for k, _ in row) else None)
+        for row in vals
+    ]
+    assert out.column("m.a").to_pylist() == want
