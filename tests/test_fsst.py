@@ -101,3 +101,45 @@ def test_fixture_text_beats_plain_zstd_alone():
     plain_blob = encode_array(text, "plain", "zstd")
     # allow 10% slack: zstd alone is strong on tiny-vocab synthetic text
     assert len(fsst_blob) <= len(plain_blob) * 1.10
+
+
+def test_table_cache_reuse_and_ratio_guard():
+    """Per-task symbol-table reuse: a second chunk of similar text
+    reuses the cached table (same bytes as the cache records); a chunk
+    whose content drifted (random hex vs English-ish) trips the >15%
+    ratio guard and retrains — its blob must match a fresh encode."""
+    import numpy as np
+
+    from parquet_go_spark.kernels.fsst import fsst_decode, fsst_encode
+
+    rng = np.random.default_rng(11)
+    words = [b"the quick brown fox ", b"jumps over the lazy dog ",
+             b"transcripts compress well "]
+    base = b"".join(words[int(i)] for i in rng.integers(0, 3, 4000))
+    similar = b"".join(words[int(i)] for i in rng.integers(0, 3, 4000))
+    drift = bytes(rng.integers(48, 58, len(base)).astype(np.uint8))
+
+    def parts(buf, n_str=200):
+        data = np.frombuffer(buf, np.uint8)
+        step = len(data) // n_str
+        lens = np.full(n_str, step, np.int64)
+        lens[-1] = len(data) - step * (n_str - 1)
+        return lens, data
+
+    cache = {}
+    b1 = fsst_encode(*parts(base), cache=cache, cache_key="text")
+    assert ("fsst", "text") in cache
+    # similar chunk: cached table reused — decodes identically and no
+    # retrain happened (cache entry object unchanged)
+    entry_before = cache[("fsst", "text")]
+    b2 = fsst_encode(*parts(similar), cache=cache, cache_key="text")
+    assert cache[("fsst", "text")] is entry_before
+    off, dat = fsst_decode(b2)
+    assert bytes(dat) == similar
+    # drifted chunk: guard trips, retrains, blob == fresh encode
+    b3 = fsst_encode(*parts(drift), cache=cache, cache_key="text")
+    assert cache[("fsst", "text")] is not entry_before
+    b3_fresh = fsst_encode(*parts(drift))
+    assert b3 == b3_fresh
+    off, dat = fsst_decode(b3)
+    assert bytes(dat) == drift
