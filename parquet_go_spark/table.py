@@ -15,7 +15,15 @@ import math
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import MapType, StructField, StructType
+from pyspark.sql.types import (
+    DayTimeIntervalType,
+    IntegerType,
+    LongType,
+    MapType,
+    StructField,
+    StructType,
+    YearMonthIntervalType,
+)
 
 from . import manifest
 from .decode import make_decode_fn, prune_entries
@@ -93,6 +101,67 @@ def validate_schema(df: DataFrame, ddl: str = TRANSCRIPT_DDL) -> None:
         raise ValueError("schema contract violation: " + "; ".join(problems))
 
 
+# ANSI interval support (parquet.thrift:165-177 INTERVAL converted
+# type; Spark: DayTimeIntervalType / YearMonthIntervalType). Spark's
+# Arrow UDF channel rejects interval types outright
+# (PySparkNotImplementedError from mapInArrow/mapInPandas), so the
+# engine lowers TOP-LEVEL interval columns to their internal integer
+# form JVM-side before the encode UDF — day-time = int64 microseconds,
+# year-month = int32 months, both exact by definition — and read_table
+# casts back JVM-side after the decode UDF. The manifest keeps the
+# ORIGINAL schema DDL, so round-trips restore the exact interval
+# field bounds (e.g. HOUR TO MINUTE). The lowered ints go through the
+# normal integer codec path (delta/PFOR), which is precisely what the
+# Parquet INTERVAL encoding does with its months/days/millis triple.
+# Intervals nested inside struct/map/list stay unsupported (Spark
+# cannot move them across the Arrow boundary at any level; such
+# columns fail loudly in Spark's own conversion).
+_DT_IV_LOWER = "`{c}` div INTERVAL '0.000001' SECOND"
+_YM_IV_LOWER = "CAST(`{c}` AS INT)"
+_DT_IV_RESTORE = "CAST(`{c}` * INTERVAL '0.000001' SECOND AS {ddl})"
+_YM_IV_RESTORE = "CAST(`{c}` * INTERVAL '1' MONTH AS {ddl})"
+_IV_TYPES = (DayTimeIntervalType, YearMonthIntervalType)
+
+
+def _lower_interval_df(df: DataFrame) -> tuple[DataFrame, str | None]:
+    """Lower top-level interval columns to ints; returns (df, original
+    schema json to commit) — (df, None) when there is nothing to do."""
+    if not any(isinstance(f.dataType, _IV_TYPES) for f in df.schema.fields):
+        return df, None
+    orig = df.schema.json()
+    exprs = []
+    for f in df.schema.fields:
+        if isinstance(f.dataType, DayTimeIntervalType):
+            exprs.append(F.expr(_DT_IV_LOWER.format(c=f.name)).alias(f.name))
+        elif isinstance(f.dataType, YearMonthIntervalType):
+            exprs.append(F.expr(_YM_IV_LOWER.format(c=f.name)).alias(f.name))
+        else:
+            exprs.append(F.col(f"`{f.name}`"))
+    return df.select(exprs), orig
+
+
+def _udf_safe_fields(
+    fields: list[StructField],
+) -> tuple[list[StructField], dict[str, str]]:
+    """Interval fields → (int fields for the decode UDF schema,
+    restore-cast SQL by column name for the JVM-side select after)."""
+    out: list[StructField] = []
+    restore: dict[str, str] = {}
+    for f in fields:
+        dt = f.dataType
+        if isinstance(dt, DayTimeIntervalType):
+            out.append(StructField(f.name, LongType(), True))
+            restore[f.name] = _DT_IV_RESTORE.format(
+                c=f.name, ddl=dt.simpleString())
+        elif isinstance(dt, YearMonthIntervalType):
+            out.append(StructField(f.name, IntegerType(), True))
+            restore[f.name] = _YM_IV_RESTORE.format(
+                c=f.name, ddl=dt.simpleString())
+        else:
+            out.append(f)
+    return out, restore
+
+
 @_inflight_guard(1)
 def write_table(
     df: DataFrame,
@@ -140,6 +209,8 @@ def write_table(
     row per chunk — at the 10¹²-turn frame (~4M chunks) the per-chunk
     path would push GBs of JSON through the driver.
     """
+    df, orig_schema_json = _lower_interval_df(df)
+    schema_json = orig_schema_json or df.schema.json()
     entries_df, extra = _stage_encode(
         df, table_dir, key_cols, num_chunks, rows_per_chunk, salt_block,
         overrides, resume, chunk_expr, chunk_prefix, bloom_cols, shuffle,
@@ -154,11 +225,11 @@ def write_table(
         if append:
             snapshot = _commit_append_distributed(
                 df.sparkSession, table_dir, refs,
-                schema_ddl=df.schema.json(), extra=extra,
+                schema_ddl=schema_json, extra=extra,
             )
         else:
             snapshot = manifest.commit_shards(
-                table_dir, refs, schema_ddl=df.schema.json(), extra=extra,
+                table_dir, refs, schema_ddl=schema_json, extra=extra,
             )
         return {
             "snapshot_id": snapshot,
@@ -170,7 +241,7 @@ def write_table(
         }
     entries = [json.loads(r.entry_json) for r in entries_df.collect()]
     snapshot = manifest.commit(
-        table_dir, entries, schema_ddl=df.schema.json(),
+        table_dir, entries, schema_ddl=schema_json,
         extra=extra, append=append,
     )
     return {
@@ -551,7 +622,11 @@ def read_table(
                 StructField(f.name, f.dataType, nullable=True,
                             metadata=f.metadata)
             )
+    # interval columns: decode as their lowered int form, cast back
+    # JVM-side after the UDF (sub_schema = what the caller receives)
+    udf_fields, iv_restore = _udf_safe_fields(fields)
     sub_schema = StructType(fields)
+    udf_schema = StructType(udf_fields)
 
     if distributed:
         par = parallelism or spark.sparkContext.defaultParallelism
@@ -597,14 +672,21 @@ def read_table(
     try:  # schema evolution: null-fill columns missing from old chunks
         from pyspark.sql.pandas.types import to_arrow_schema
 
-        column_types = {f.name: f.type for f in to_arrow_schema(sub_schema)}
+        column_types = {f.name: f.type for f in to_arrow_schema(udf_schema)}
     except Exception:
         column_types = {}
-    return files_df.mapInArrow(
+    out = files_df.mapInArrow(
         make_decode_fn(columns, row_filter=row_filter,
                        column_types=column_types),
-        sub_schema,
+        udf_schema,
     )
+    if iv_restore:
+        out = out.select([
+            F.expr(iv_restore[f.name]).alias(f.name)
+            if f.name in iv_restore else F.col(f"`{f.name}`")
+            for f in udf_fields
+        ])
+    return out
 
 
 @_inflight_guard(1)
@@ -639,13 +721,15 @@ def compact(
                      or ["conv_id", "turn_idx"])
 
     # all fields nullable: schema-evolution null-fills columns that
-    # predate a chunk (same forcing read_table applies)
-    schema = StructType(
+    # predate a chunk (same forcing read_table applies). Interval
+    # columns decode/re-encode in their lowered int form (chunk bytes
+    # store ints; the commit keeps the original interval DDL).
+    schema = StructType(_udf_safe_fields(
         [
             StructField(f.name, f.dataType, nullable=True, metadata=f.metadata)
             for f in StructType.fromJson(json.loads(listing["schema_ddl"])).fields
         ]
-    )
+    )[0])
     cols = [f.name for f in schema.fields]
     files = [os.path.join(table_dir, e["file"]) for e in small]
     par = min(len(files), spark.sparkContext.defaultParallelism)
@@ -881,10 +965,10 @@ def delete_rows(spark: SparkSession, table_dir: str,
         return {"snapshot_id": listing["snapshot_id"],
                 "rewritten_chunks": 0, "untouched_chunks": len(keep),
                 "n_chunks": len(keep)}
-    schema = StructType(
+    schema = StructType(_udf_safe_fields(
         [StructField(f.name, f.dataType, True, f.metadata)
          for f in StructType.fromJson(json.loads(listing["schema_ddl"])).fields]
-    )
+    )[0])
     decoded = _decode_entries_df(spark, table_dir, affected, schema)
     # NULL predicate values are "unknown" → NOT deleted (keep the row)
     remaining = decoded.filter(
@@ -970,10 +1054,13 @@ def upsert_table(spark: SparkSession, table_dir: str,
         )
     touched = {f"{r[0]:06d}" for r in touched_df.collect()}
     affected = [e for e in listing["entries"] if e["chunk_id"] in touched]
-    schema = StructType(
+    # interval columns merge in their lowered int form (both the stored
+    # chunks and the incoming batch), original DDL stays in the commit
+    df, _ = _lower_interval_df(df)
+    schema = StructType(_udf_safe_fields(
         [StructField(f.name, f.dataType, True, f.metadata)
          for f in StructType.fromJson(json.loads(listing["schema_ddl"])).fields]
-    )
+    )[0])
     old = (
         _decode_entries_df(spark, table_dir, affected, schema)
         if affected else spark.createDataFrame([], schema)

@@ -1,0 +1,137 @@
+"""ANSI interval columns through the engine (SURVEY §2 type corners;
+parquet.thrift:165-177 INTERVAL converted type).
+
+Spark's Arrow UDF channel rejects DayTimeIntervalType /
+YearMonthIntervalType, so table.py lowers top-level interval columns
+to their internal integer form (day-time = int64 micros, year-month =
+int32 months) JVM-side before the encode UDF and casts back after the
+decode UDF; the manifest keeps the original DDL. These tests pin:
+bit-exact round-trip (sub-second precision included), null handling,
+exact field-bound restoration (e.g. HOUR TO MINUTE), projection, and
+the rewrite paths (upsert) that merge lowered ints with a fresh batch.
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from parquet_go_spark import table as T
+
+
+def _iv_df(spark, n=200):
+    # sub-second micros in the day-time interval + nulls on both kinds
+    return spark.sql(f"""
+        SELECT CAST(id % 20 AS STRING)            AS conv_id,
+               CAST(id AS INT)                    AS turn_idx,
+               CASE WHEN id % 7 = 0 THEN NULL
+                    ELSE make_dt_interval(CAST(id % 3 AS INT),
+                                          CAST(id % 24 AS INT),
+                                          CAST(id % 60 AS INT),
+                                          CAST(id % 10 AS DOUBLE)
+                                          + 0.000001 * CAST(id AS DOUBLE))
+               END                                AS dur,
+               CASE WHEN id % 11 = 0 THEN NULL
+                    ELSE make_ym_interval(CAST(id % 5 AS INT),
+                                          CAST(id % 12 AS INT))
+               END                                AS age
+        FROM range({n})
+    """)
+
+
+def test_interval_roundtrip_bit_identical(spark, tmp_path):
+    src = _iv_df(spark)
+    out = os.path.join(str(tmp_path), "iv_tbl")
+    info = T.write_table(src, out, key_cols=("conv_id", "turn_idx"),
+                         num_chunks=4)
+    assert info["n_rows"] == 200
+    got = T.read_table(spark, out)
+    # exact logical types restored (incl. field bounds)
+    assert dict((f.name, f.dataType.simpleString())
+                for f in got.schema.fields) == dict(
+        (f.name, f.dataType.simpleString()) for f in src.schema.fields)
+    assert got.exceptAll(src).count() == 0
+    assert src.exceptAll(got).count() == 0
+    # null pattern survives
+    assert (got.filter("dur IS NULL").count()
+            == src.filter("dur IS NULL").count())
+
+
+def test_interval_field_bounds_restored(spark, tmp_path):
+    # a narrow HOUR TO MINUTE interval must come back HOUR TO MINUTE,
+    # not the widened DAY TO SECOND the restore multiply produces
+    src = spark.sql("""
+        SELECT CAST(id AS STRING) AS conv_id, CAST(id AS INT) AS turn_idx,
+               CAST(make_dt_interval(0, CAST(id % 24 AS INT),
+                                     CAST(id % 60 AS INT), 0)
+                    AS INTERVAL HOUR TO MINUTE) AS hm
+        FROM range(50)
+    """)
+    assert src.schema["hm"].dataType.simpleString() == \
+        "interval hour to minute"
+    out = os.path.join(str(tmp_path), "iv_hm")
+    T.write_table(src, out, key_cols=("conv_id", "turn_idx"), num_chunks=2)
+    got = T.read_table(spark, out)
+    assert got.schema["hm"].dataType.simpleString() == \
+        "interval hour to minute"
+    assert got.exceptAll(src).count() == 0
+
+
+def test_interval_projection_and_append(spark, tmp_path):
+    src = _iv_df(spark)
+    out = os.path.join(str(tmp_path), "iv_proj")
+    T.write_table(src, out, key_cols=("conv_id", "turn_idx"), num_chunks=2)
+    # project just the interval column (+ key): decode reads only those
+    # blobs and still restores the interval type
+    got = T.read_table(spark, out, columns=["turn_idx", "dur"])
+    assert [f.name for f in got.schema.fields] == ["turn_idx", "dur"]
+    assert got.schema["dur"].dataType.simpleString() == \
+        src.schema["dur"].dataType.simpleString()
+    assert got.count() == 200
+    # append a second batch; both batches restore
+    more = _iv_df(spark, 60).withColumn(
+        "conv_id", F.concat_ws("-", F.lit("b"), F.col("conv_id")))
+    T.write_table(more, out, key_cols=("conv_id", "turn_idx"),
+                  num_chunks=2, chunk_prefix="b2-", append=True)
+    assert T.read_table(spark, out).count() == 260
+
+
+def test_interval_upsert_merges_lowered(spark, tmp_path):
+    src = _iv_df(spark)
+    out = os.path.join(str(tmp_path), "iv_ups")
+    T.write_table(src, out, key_cols=("conv_id", "turn_idx"), num_chunks=4)
+    # replace turn 3's dur, insert a new key
+    batch = spark.sql("""
+        SELECT '3' AS conv_id, 3 AS turn_idx,
+               make_dt_interval(9, 9, 9, 9.5) AS dur,
+               make_ym_interval(9, 9) AS age
+        UNION ALL
+        SELECT 'new' AS conv_id, 999 AS turn_idx,
+               make_dt_interval(1, 1, 1, 1.000001) AS dur,
+               NULL AS age
+    """)
+    T.upsert_table(spark, out, batch)
+    got = T.read_table(spark, out)
+    assert got.count() == 201
+    # NB: PySpark can't collect() YearMonthIntervalType values
+    # (fromInternal is NOT_IMPLEMENTED upstream) — compare via
+    # exceptAll, which stays JVM-side
+    touched = got.filter("(conv_id = '3' AND turn_idx = 3) "
+                         "OR conv_id = 'new'")
+    assert touched.count() == 2
+    assert touched.exceptAll(batch).count() == 0
+    assert batch.exceptAll(touched).count() == 0
+
+
+def test_nested_interval_rejected_loudly(spark, tmp_path):
+    # intervals inside a struct can't cross the Arrow boundary at any
+    # level — the engine must fail loudly, not corrupt
+    src = spark.sql("""
+        SELECT CAST(id AS STRING) AS conv_id, CAST(id AS INT) AS turn_idx,
+               named_struct('d', make_dt_interval(0, 1, 0, 0)) AS s
+        FROM range(10)
+    """)
+    out = os.path.join(str(tmp_path), "iv_nested")
+    with pytest.raises(Exception):
+        T.write_table(src, out, key_cols=("conv_id", "turn_idx"),
+                      num_chunks=1)
