@@ -148,6 +148,46 @@ def _encode_decode_reps(master: str, src: str, out_base: str,
         spark.stop()
 
 
+def _scan_floor(master: str, src: str, n_reps: int) -> float:
+    """Kernel-free control cell: scan → hash exchange → Arrow transfer
+    into a Python worker that only counts rows. This is the share of an
+    encode job the engine's kernels cannot shrink; at toy input sizes
+    it is near-fixed across parallelism levels, which caps the raw
+    1→4 efficiency reading no matter how linear the kernels are (the
+    Amdahl analysis in BENCH/BASELINE.md). Measured at both scaling-
+    pair levels so the driver JSON carries the floor AND the
+    net-of-floor efficiency, not just the raw quotient."""
+    import pyarrow as pa
+    from pyspark.sql import functions as F
+
+    spark = _quiet_spark(master)
+    try:
+        df = spark.read.parquet(src)
+        staged = df.withColumn(
+            "_ck", F.pmod(F.xxhash64("conv_id"), F.lit(64))
+        ).repartition(
+            min(64, max(4 * spark.sparkContext.defaultParallelism, 1)),
+            "_ck",
+        )
+
+        def consume(batches):
+            n = 0
+            for b in batches:
+                n += b.num_rows
+            yield pa.RecordBatch.from_pydict(
+                {"n": pa.array([n], pa.int64())})
+
+        best = None
+        for _ in range(n_reps):
+            t0 = time.time()
+            staged.mapInArrow(consume, "n long").agg(
+                {"n": "sum"}).collect()
+            best = min(best or 1e9, time.time() - t0)
+        return best
+    finally:
+        spark.stop()
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -192,6 +232,13 @@ def main() -> int:
             )
         lo_lvl, mid_lvl, hi_lvl = levels[0], levels[1], levels[-1]
         r_low, r_high = runs[mid_lvl], runs[hi_lvl]
+
+        # kernel-free job floor at both pair levels (see _scan_floor)
+        floors = {}
+        for lvl in (lo_lvl, mid_lvl):
+            _wait_quiet()
+            floors[lvl] = _scan_floor(f"local[{lvl}]", src, 2)
+            queries[f"scanfloor_local{lvl}"] = round(floors[lvl], 3)
         queries[f"transcript_decode_local{hi_lvl}"] = round(r_high["dec_s"], 3)
 
         # testdata-side queries at the same parallelism
@@ -279,6 +326,12 @@ def main() -> int:
         # primary N→4N evidence pair
         speedup_b = runs[lo_lvl]["enc_s"] / runs[mid_lvl]["enc_s"]
         eff_b = speedup_b / (mid_lvl / lo_lvl)
+        # the same pair net of the kernel-free floor: how the ENGINE's
+        # own work scales (at 100 TB the floor amortizes to ~0; at a
+        # 204 MB toy input it is ~40% of the 4-core wall)
+        net_lo = max(runs[lo_lvl]["enc_s"] - floors[lo_lvl], 1e-6)
+        net_mid = max(runs[mid_lvl]["enc_s"] - floors[mid_lvl], 1e-6)
+        eff_net = (net_lo / net_mid) / (mid_lvl / lo_lvl)
         # saturation pair (mid → full machine)
         speedup = r_low["enc_s"] / r_high["enc_s"]
         eff = speedup / (hi_lvl / mid_lvl) if hi_lvl > mid_lvl else 1.0
@@ -309,6 +362,9 @@ def main() -> int:
                 "scaling_pair": "local[%d] -> local[%d]" % (lo_lvl, mid_lvl),
                 "scaling_speedup_%d_to_%d" % (lo_lvl, mid_lvl): round(speedup_b, 3),
                 "scaling_efficiency": round(eff_b, 3),
+                "scan_floor_s_local%d" % lo_lvl: round(floors[lo_lvl], 3),
+                "scan_floor_s_local%d" % mid_lvl: round(floors[mid_lvl], 3),
+                "scaling_efficiency_net_of_floor": round(eff_net, 3),
                 "saturation_speedup_%d_to_%d" % (mid_lvl, hi_lvl): round(speedup, 3),
                 "saturation_efficiency_%d_to_%d" % (mid_lvl, hi_lvl): round(eff, 3),
             },
