@@ -20,8 +20,12 @@ NO JVM Sort node: the kernel sorts each partition with pyarrow (same
 total order on the unique keys, ~1/20th the cost of Spark's row
 sorter). Everything upstream of the exchange is whole-stage codegen;
 the parquet scan reads all six columns because all are encoded (no
-waste). `num_chunks` sizes the exchange, so shuffle fan-out = chunk
-count, never a fixed default.""",
+waste). The exchange is sized for the CLUSTER, not the chunk count:
+partitions = min(num_chunks, max(4 waves/core, input/128 MB)) — at
+sf0.01 that resolves to the chunk count (8), while a 4M-chunk table
+schedules ~10⁵ right-sized tasks whose kernels each slice multiple
+`_ck` groups (chunk identity = the `_ck` value, so chunk bytes,
+resume and manifests stay partition-count-independent).""",
     "decode_read_table": """Decode is a parallelized local scan: the file list (one row per
 manifest-selected chunk) is repartitioned and each task `MapInArrow`s
 its chunk files back to rows. There is NO shuffle — chunk pruning and
@@ -63,7 +67,12 @@ the old per-document applyInPandas fold is gone.""",
     "dedup_embedding": """LSH blocking replaces the old `CartesianProduct`: signatures from a
 vectorized `MapInPandas`, candidates from a (tbl, bucket) equi-join
 (`Exchange hashpartitioning(tbl, bucket)`), exact cosine rerank only
-on same-bucket pairs. Shuffle volume O(n·tables), not O(n²).""",
+on same-bucket pairs. Shuffle volume O(n·tables), not O(n²). The r4
+hot-bucket cap is CODED into the plan (hence the union of subtrees):
+buckets wider than the cap contribute STAR pairs through the bucket's
+min doc (the window/rank branch) instead of all-pairs — the same
+connected components at O(k) pairs per hot bucket, so one dense
+near-dup cluster can no longer fan out O(n²) candidates.""",
 }
 
 
