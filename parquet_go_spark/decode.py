@@ -19,12 +19,28 @@ from .codec import decode_array
 __all__ = ["make_decode_fn", "prune_entries", "normalize_predicate"]
 
 
+def _iv_bound(v):
+    """timedelta predicate bounds → int64 microseconds, matching how
+    interval columns are stored (table.py lowers day-time intervals to
+    micros around the Arrow boundary; manifest stats are on the lowered
+    ints). Year-month predicates are plain int months already."""
+    import datetime
+
+    if isinstance(v, datetime.timedelta):
+        return (v.days * 86_400_000_000 + v.seconds * 1_000_000
+                + v.microseconds)
+    return v
+
+
 def normalize_predicate(p):
     """A predicate is either a (lo, hi) range (None = unbounded) or a
-    bare scalar = point lookup. Returns (lo, hi, point)."""
+    bare scalar = point lookup. Returns (lo, hi, point).
+    timedelta bounds target lowered day-time-interval columns and are
+    converted to int64 microseconds."""
     if isinstance(p, (tuple, list)) and len(p) == 2:
-        return p[0], p[1], None
-    return p, p, p
+        return _iv_bound(p[0]), _iv_bound(p[1]), None
+    v = _iv_bound(p)
+    return v, v, v
 
 
 def prune_entries(entries: list[dict], column_predicates: dict | None):

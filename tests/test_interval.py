@@ -123,6 +123,31 @@ def test_interval_upsert_merges_lowered(spark, tmp_path):
     assert batch.exceptAll(touched).count() == 0
 
 
+def test_interval_predicate_pruning(spark, tmp_path):
+    # timedelta predicate bounds convert to lowered micros: chunk
+    # skipping AND the row filter both run against stored int64s
+    import datetime
+
+    src = spark.sql("""
+        SELECT CAST(id AS STRING) AS conv_id, CAST(id AS INT) AS turn_idx,
+               make_dt_interval(0, CAST(id AS INT), 0, 0) AS dur
+        FROM range(48)
+    """)
+    out = os.path.join(str(tmp_path), "iv_pred")
+    # range-chunk on turn_idx so per-chunk dur min/max are tight
+    T.write_table(src, out, key_cols=("conv_id", "turn_idx"),
+                  num_chunks=4, chunk_expr=F.col("turn_idx") / 12)
+    got = T.read_table(
+        spark, out,
+        predicates={"dur": (datetime.timedelta(hours=10),
+                            datetime.timedelta(hours=20))},
+        push_row_filter=True,
+    )
+    assert got.count() == 11
+    assert got.agg(F.min("turn_idx"), F.max("turn_idx")).collect()[0] \
+        == (10, 20)
+
+
 def test_nested_interval_rejected_loudly(spark, tmp_path):
     # intervals inside a struct can't cross the Arrow boundary at any
     # level — the engine must fail loudly, not corrupt
