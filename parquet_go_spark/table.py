@@ -103,38 +103,117 @@ def validate_schema(df: DataFrame, ddl: str = TRANSCRIPT_DDL) -> None:
 
 # ANSI interval support (parquet.thrift:165-177 INTERVAL converted
 # type; Spark: DayTimeIntervalType / YearMonthIntervalType). Spark's
-# Arrow UDF channel rejects interval types outright
-# (PySparkNotImplementedError from mapInArrow/mapInPandas), so the
-# engine lowers TOP-LEVEL interval columns to their internal integer
-# form JVM-side before the encode UDF — day-time = int64 microseconds,
-# year-month = int32 months, both exact by definition — and read_table
-# casts back JVM-side after the decode UDF. The manifest keeps the
-# ORIGINAL schema DDL, so round-trips restore the exact interval
-# field bounds (e.g. HOUR TO MINUTE). The lowered ints go through the
-# normal integer codec path (delta/PFOR), which is precisely what the
-# Parquet INTERVAL encoding does with its months/days/millis triple.
-# Intervals nested inside struct/map/list stay unsupported (Spark
-# cannot move them across the Arrow boundary at any level; such
-# columns fail loudly in Spark's own conversion).
-_DT_IV_LOWER = "`{c}` div INTERVAL '0.000001' SECOND"
-_YM_IV_LOWER = "CAST(`{c}` AS INT)"
-_DT_IV_RESTORE = "CAST(`{c}` * INTERVAL '0.000001' SECOND AS {ddl})"
-_YM_IV_RESTORE = "CAST(`{c}` * INTERVAL '1' MONTH AS {ddl})"
+# Arrow UDF channel rejects interval types outright — at ANY nesting
+# depth (PySparkNotImplementedError from mapInArrow/mapInPandas) — so
+# the engine lowers interval leaves to their internal integer form
+# JVM-side before the encode UDF: day-time = int64 microseconds,
+# year-month = int32 months, both exact by definition. Nested
+# occurrences (struct fields, array elements, map values) are lowered
+# in place by a recursive expression (named_struct/transform/
+# transform_values with null guards), and read_table restores
+# JVM-side after the decode UDF with the inverse expression under ONE
+# outer CAST to the manifest's ORIGINAL DDL — which also restores
+# exact interval field bounds (e.g. HOUR TO MINUTE) at every level.
+# The lowered ints go through the normal integer codec paths
+# (delta/PFOR; nested ones through the shredded/generic nested
+# codecs), which is precisely what the Parquet INTERVAL encoding does
+# with its months/days/millis triple. Interval MAP KEYS stay
+# unsupported (loud ValueError — no sane ordering story).
 _IV_TYPES = (DayTimeIntervalType, YearMonthIntervalType)
 
 
+def _contains_iv(dt) -> bool:
+    from pyspark.sql.types import ArrayType
+
+    if isinstance(dt, _IV_TYPES):
+        return True
+    if isinstance(dt, StructType):
+        return any(_contains_iv(f.dataType) for f in dt.fields)
+    if isinstance(dt, ArrayType):
+        return _contains_iv(dt.elementType)
+    if isinstance(dt, MapType):
+        if _contains_iv(dt.keyType):
+            raise ValueError(
+                "interval-typed map keys are not supported")
+        return _contains_iv(dt.valueType)
+    return False
+
+
+def _lower_type(dt):
+    """The Arrow-safe storage type for ``dt`` (interval leaves → ints)."""
+    from pyspark.sql.types import ArrayType
+
+    if isinstance(dt, DayTimeIntervalType):
+        return LongType()
+    if isinstance(dt, YearMonthIntervalType):
+        return IntegerType()
+    if isinstance(dt, StructType):
+        return StructType([
+            StructField(f.name, _lower_type(f.dataType), True, f.metadata)
+            for f in dt.fields])
+    if isinstance(dt, ArrayType):
+        return ArrayType(_lower_type(dt.elementType), True)
+    if isinstance(dt, MapType):
+        return MapType(dt.keyType, _lower_type(dt.valueType), True)
+    return dt
+
+
+def _bt(name: str) -> str:
+    return "`" + name.replace("`", "``") + "`"
+
+
+def _iv_sql(ref: str, dt, lower: bool, depth: int = 0) -> str:
+    """Recursive SQL rewriting interval leaves under ``ref``:
+    ``lower=True`` → ints (write side), ``lower=False`` → intervals
+    (read side; caller wraps in one CAST to the original DDL, which
+    also restores exact field bounds everywhere)."""
+    from pyspark.sql.types import ArrayType
+
+    if isinstance(dt, DayTimeIntervalType):
+        return (f"({ref} div INTERVAL '0.000001' SECOND)" if lower
+                else f"({ref} * INTERVAL '0.000001' SECOND)")
+    if isinstance(dt, YearMonthIntervalType):
+        return (f"CAST({ref} AS INT)" if lower
+                else f"({ref} * INTERVAL '1' MONTH)")
+    if isinstance(dt, StructType):
+        if not _contains_iv(dt):
+            return ref
+        parts = ", ".join(
+            f"'{f.name}', " + _iv_sql(f"{ref}.{_bt(f.name)}",
+                                      f.dataType, lower, depth)
+            for f in dt.fields)
+        # named_struct of a NULL struct would fabricate a non-null row
+        # of nulls — guard the null through explicitly
+        return (f"(CASE WHEN {ref} IS NULL THEN NULL "
+                f"ELSE named_struct({parts}) END)")
+    if isinstance(dt, ArrayType):
+        if not _contains_iv(dt.elementType):
+            return ref
+        v = f"_iv{depth}"
+        inner = _iv_sql(v, dt.elementType, lower, depth + 1)
+        return f"transform({ref}, {v} -> {inner})"
+    if isinstance(dt, MapType):
+        if not _contains_iv(dt.valueType):
+            return ref
+        k, v = f"_ivk{depth}", f"_ivv{depth}"
+        inner = _iv_sql(v, dt.valueType, lower, depth + 1)
+        return f"transform_values({ref}, ({k}, {v}) -> {inner})"
+    return ref
+
+
 def _lower_interval_df(df: DataFrame) -> tuple[DataFrame, str | None]:
-    """Lower top-level interval columns to ints; returns (df, original
-    schema json to commit) — (df, None) when there is nothing to do."""
-    if not any(isinstance(f.dataType, _IV_TYPES) for f in df.schema.fields):
+    """Lower interval-bearing columns (top-level or nested) to ints;
+    returns (df, original schema json to commit) — (df, None) when
+    there is nothing to do."""
+    if not any(_contains_iv(f.dataType) for f in df.schema.fields):
         return df, None
     orig = df.schema.json()
     exprs = []
     for f in df.schema.fields:
-        if isinstance(f.dataType, DayTimeIntervalType):
-            exprs.append(F.expr(_DT_IV_LOWER.format(c=f.name)).alias(f.name))
-        elif isinstance(f.dataType, YearMonthIntervalType):
-            exprs.append(F.expr(_YM_IV_LOWER.format(c=f.name)).alias(f.name))
+        if _contains_iv(f.dataType):
+            low = _iv_sql(_bt(f.name), f.dataType, lower=True)
+            ddl = _lower_type(f.dataType).simpleString()
+            exprs.append(F.expr(f"CAST({low} AS {ddl})").alias(f.name))
         else:
             exprs.append(F.col(f"`{f.name}`"))
     return df.select(exprs), orig
@@ -143,20 +222,16 @@ def _lower_interval_df(df: DataFrame) -> tuple[DataFrame, str | None]:
 def _udf_safe_fields(
     fields: list[StructField],
 ) -> tuple[list[StructField], dict[str, str]]:
-    """Interval fields → (int fields for the decode UDF schema,
-    restore-cast SQL by column name for the JVM-side select after)."""
+    """Interval-bearing fields → (lowered fields for the decode UDF
+    schema, restore SQL by column name for the JVM-side select after)."""
     out: list[StructField] = []
     restore: dict[str, str] = {}
     for f in fields:
         dt = f.dataType
-        if isinstance(dt, DayTimeIntervalType):
-            out.append(StructField(f.name, LongType(), True))
-            restore[f.name] = _DT_IV_RESTORE.format(
-                c=f.name, ddl=dt.simpleString())
-        elif isinstance(dt, YearMonthIntervalType):
-            out.append(StructField(f.name, IntegerType(), True))
-            restore[f.name] = _YM_IV_RESTORE.format(
-                c=f.name, ddl=dt.simpleString())
+        if _contains_iv(dt):
+            out.append(StructField(f.name, _lower_type(dt), True))
+            up = _iv_sql(_bt(f.name), dt, lower=False)
+            restore[f.name] = f"CAST({up} AS {dt.simpleString()})"
         else:
             out.append(f)
     return out, restore

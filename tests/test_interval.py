@@ -148,15 +148,53 @@ def test_interval_predicate_pruning(spark, tmp_path):
         == (10, 20)
 
 
-def test_nested_interval_rejected_loudly(spark, tmp_path):
-    # intervals inside a struct can't cross the Arrow boundary at any
-    # level — the engine must fail loudly, not corrupt
+def test_nested_interval_roundtrip(spark, tmp_path):
+    # intervals inside struct / array<struct> / map values are lowered
+    # in place by the recursive expression and restored with exact
+    # field bounds; null structs/arrays/maps and null leaves survive
     src = spark.sql("""
         SELECT CAST(id AS STRING) AS conv_id, CAST(id AS INT) AS turn_idx,
-               named_struct('d', make_dt_interval(0, 1, 0, 0)) AS s
-        FROM range(10)
+               CASE WHEN id % 5 = 0 THEN NULL
+                    ELSE named_struct(
+                        'd', CASE WHEN id % 3 = 0 THEN NULL
+                                  ELSE make_dt_interval(0,
+                                       CAST(id % 24 AS INT), 1, 0.5) END,
+                        'n', id)
+               END AS s,
+               CASE WHEN id % 7 = 0 THEN NULL
+                    ELSE array(named_struct(
+                        'tag', CONCAT('t', id),
+                        'ym', make_ym_interval(0, CAST(id % 12 AS INT))))
+               END AS arr,
+               CASE WHEN id % 4 = 0 THEN NULL
+                    ELSE map('k', make_dt_interval(0, 0, CAST(id % 60 AS INT), 0))
+               END AS m
+        FROM range(80)
     """)
     out = os.path.join(str(tmp_path), "iv_nested")
+    T.write_table(src, out, key_cols=("conv_id", "turn_idx"), num_chunks=2)
+    got = T.read_table(spark, out)
+    assert got.schema.simpleString() == src.schema.simpleString()
+    # Spark forbids set ops on MAP columns (interval or not) —
+    # compare the map as its entry array
+    cmp = [F.col("conv_id"), F.col("turn_idx"), F.col("s"), F.col("arr"),
+           F.map_entries("m").alias("m_e")]
+    assert got.select(cmp).exceptAll(src.select(cmp)).count() == 0
+    assert src.select(cmp).exceptAll(got.select(cmp)).count() == 0
+    # nested-child projection restores the interval element type
+    arr_ym = T.read_table(spark, out, columns=["turn_idx", "arr.ym"])
+    assert arr_ym.schema["arr.ym"].dataType.simpleString() == \
+        "array<interval year to month>"
+    assert arr_ym.count() == 80
+
+
+def test_interval_map_key_rejected_loudly(spark, tmp_path):
+    src = spark.sql("""
+        SELECT CAST(id AS STRING) AS conv_id, CAST(id AS INT) AS turn_idx,
+               map(make_ym_interval(0, 1), id) AS m
+        FROM range(5)
+    """)
+    out = os.path.join(str(tmp_path), "iv_badkey")
     with pytest.raises(Exception):
         T.write_table(src, out, key_cols=("conv_id", "turn_idx"),
                       num_chunks=1)
