@@ -139,6 +139,25 @@ def _contains_iv(dt) -> bool:
     return False
 
 
+def _all_nullable(dt):
+    """``dt`` with nullability forced on at every level — the decode
+    path is all-nullable (schema evolution null-fills), so the restore
+    cast target must not carry NOT NULL constraints from the writer's
+    schema (Spark refuses nullable→non-null struct casts)."""
+    from pyspark.sql.types import ArrayType
+
+    if isinstance(dt, StructType):
+        return StructType([
+            StructField(f.name, _all_nullable(f.dataType), True,
+                        f.metadata)
+            for f in dt.fields])
+    if isinstance(dt, ArrayType):
+        return ArrayType(_all_nullable(dt.elementType), True)
+    if isinstance(dt, MapType):
+        return MapType(dt.keyType, _all_nullable(dt.valueType), True)
+    return dt
+
+
 def _lower_type(dt):
     """The Arrow-safe storage type for ``dt`` (interval leaves → ints)."""
     from pyspark.sql.types import ArrayType
@@ -173,14 +192,17 @@ def _iv_sql(ref: str, dt, lower: bool, depth: int = 0) -> str:
         return (f"({ref} div INTERVAL '0.000001' SECOND)" if lower
                 else f"({ref} * INTERVAL '0.000001' SECOND)")
     if isinstance(dt, YearMonthIntervalType):
-        return (f"CAST({ref} AS INT)" if lower
+        # div (not CAST AS INT): CAST uses the END-field unit, so an
+        # INTERVAL YEAR column would store years while the restore
+        # multiplies months — div by 1 month is bound-independent
+        return (f"({ref} div INTERVAL '1' MONTH)" if lower
                 else f"({ref} * INTERVAL '1' MONTH)")
     if isinstance(dt, StructType):
         if not _contains_iv(dt):
             return ref
         parts = ", ".join(
-            f"'{f.name}', " + _iv_sql(f"{ref}.{_bt(f.name)}",
-                                      f.dataType, lower, depth)
+            "'" + f.name.replace("'", "''") + "', "
+            + _iv_sql(f"{ref}.{_bt(f.name)}", f.dataType, lower, depth)
             for f in dt.fields)
         # named_struct of a NULL struct would fabricate a non-null row
         # of nulls — guard the null through explicitly
@@ -212,8 +234,10 @@ def _lower_interval_df(df: DataFrame) -> tuple[DataFrame, str | None]:
     for f in df.schema.fields:
         if _contains_iv(f.dataType):
             low = _iv_sql(_bt(f.name), f.dataType, lower=True)
-            ddl = _lower_type(f.dataType).simpleString()
-            exprs.append(F.expr(f"CAST({low} AS {ddl})").alias(f.name))
+            # cast with the DataType OBJECT (not simpleString DDL):
+            # field names with DDL-hostile characters stay intact
+            exprs.append(
+                F.expr(low).cast(_lower_type(f.dataType)).alias(f.name))
         else:
             exprs.append(F.col(f"`{f.name}`"))
     return df.select(exprs), orig
@@ -221,17 +245,21 @@ def _lower_interval_df(df: DataFrame) -> tuple[DataFrame, str | None]:
 
 def _udf_safe_fields(
     fields: list[StructField],
-) -> tuple[list[StructField], dict[str, str]]:
+) -> tuple[list[StructField], dict]:
     """Interval-bearing fields → (lowered fields for the decode UDF
-    schema, restore SQL by column name for the JVM-side select after)."""
+    schema, restore Column by column name for the JVM-side select
+    after). Lowered fields keep their metadata; restore re-attaches it."""
     out: list[StructField] = []
-    restore: dict[str, str] = {}
+    restore: dict = {}
     for f in fields:
         dt = f.dataType
         if _contains_iv(dt):
-            out.append(StructField(f.name, _lower_type(dt), True))
-            up = _iv_sql(_bt(f.name), dt, lower=False)
-            restore[f.name] = f"CAST({up} AS {dt.simpleString()})"
+            out.append(StructField(f.name, _lower_type(dt), True,
+                                   f.metadata))
+            up = F.expr(_iv_sql(_bt(f.name), dt, lower=False)).cast(
+                _all_nullable(dt))
+            restore[f.name] = (up.alias(f.name, metadata=f.metadata)
+                               if f.metadata else up.alias(f.name))
         else:
             out.append(f)
     return out, restore
@@ -757,8 +785,8 @@ def read_table(
     )
     if iv_restore:
         out = out.select([
-            F.expr(iv_restore[f.name]).alias(f.name)
-            if f.name in iv_restore else F.col(f"`{f.name}`")
+            iv_restore[f.name] if f.name in iv_restore
+            else F.col(f"`{f.name}`")
             for f in udf_fields
         ])
     return out
@@ -1180,10 +1208,13 @@ def search_text(
         raise FileNotFoundError(f"no committed snapshot in {table_dir}")
     schema = StructType.fromJson(json.loads(refs["schema_ddl"]))
     sel = columns or [f.name for f in schema.fields]
-    sub = StructType(
+    # interval-bearing columns decode in their lowered form and are
+    # restored after the residual filter (same contract as read_table)
+    sub_fields, iv_restore = _udf_safe_fields(
         [StructField(f.name, f.dataType, True, f.metadata)
          for f in schema.fields if f.name in set(sel + [column])]
     )
+    sub = StructType(sub_fields)
     if (refs.get("manifest_shards") is not None
             and refs.get("n_chunks", 0) >= DISTRIBUTED_MANIFEST_MIN_CHUNKS):
         # distributed: token-bloom check runs in the shard-scan tasks
@@ -1240,11 +1271,12 @@ def search_text(
             if tb is None or bloom_contains(tb, token):
                 kept.append(e)
         if not kept:
-            return spark.createDataFrame([], sub).select(*sel)
+            return spark.createDataFrame([], sub).select(
+                [iv_restore.get(c, F.col(f"`{c}`")) for c in sel])
         decoded = _decode_entries_df(spark, table_dir, kept, sub)
     return decoded.filter(
         F.array_contains(F.split(F.col(column), " "), token)
-    ).select(*sel)
+    ).select([iv_restore.get(c, F.col(f"`{c}`")) for c in sel])
 
 
 def _accumulate_column_stats(entries: list[dict], column: str) -> dict:

@@ -188,6 +188,49 @@ def test_nested_interval_roundtrip(spark, tmp_path):
     assert arr_ym.count() == 80
 
 
+def test_interval_narrow_ym_bounds_exact(spark, tmp_path):
+    # regression: CAST(ym AS INT) uses the END-field unit, so an
+    # INTERVAL YEAR column stored YEARS while restore multiplied
+    # months — 2 years came back as INTERVAL '0' YEAR. The div
+    # lowering is bound-independent.
+    src = spark.sql("""
+        SELECT CAST(id AS STRING) AS conv_id, CAST(id AS INT) AS turn_idx,
+               CAST(make_ym_interval(CAST(id AS INT), 0)
+                    AS INTERVAL YEAR) AS yrs,
+               CAST(make_ym_interval(0, CAST(id % 12 AS INT))
+                    AS INTERVAL MONTH) AS mos,
+               CAST(make_dt_interval(CAST(id AS INT), 0, 0, 0)
+                    AS INTERVAL DAY) AS days
+        FROM range(30)
+    """)
+    out = os.path.join(str(tmp_path), "iv_narrow")
+    T.write_table(src, out, key_cols=("conv_id", "turn_idx"), num_chunks=2)
+    got = T.read_table(spark, out)
+    assert got.schema.simpleString() == src.schema.simpleString()
+    assert got.exceptAll(src).count() == 0
+    assert src.exceptAll(got).count() == 0
+
+
+def test_search_text_on_interval_table(spark, tmp_path):
+    # regression: search_text decoded with the original (interval)
+    # schema and hit Spark's Arrow-channel rejection
+    src = spark.sql("""
+        SELECT CAST(id AS STRING) AS conv_id, CAST(id AS INT) AS turn_idx,
+               CASE WHEN id = 7 THEN 'hello needle world'
+                    ELSE 'plain text' END AS text,
+               make_dt_interval(0, CAST(id AS INT), 0, 0) AS dur
+        FROM range(20)
+    """)
+    out = os.path.join(str(tmp_path), "iv_search")
+    T.write_table(src, out, key_cols=("conv_id", "turn_idx"),
+                  num_chunks=2, token_bloom_cols=("text",))
+    hits = T.search_text(spark, out, "text", "needle")
+    assert hits.schema["dur"].dataType.simpleString() == \
+        "interval day to second"
+    rows = hits.select("turn_idx", "text").collect()
+    assert len(rows) == 1 and rows[0].turn_idx == 7
+
+
 def test_interval_map_key_rejected_loudly(spark, tmp_path):
     src = spark.sql("""
         SELECT CAST(id AS STRING) AS conv_id, CAST(id AS INT) AS turn_idx,
