@@ -409,10 +409,6 @@ def make_decode_fn(columns: list[str], verify_crc: bool = True,
                         )
                         children = [_child(base, k) for k in key_names]
                         if total:
-                            counts = np.bincount(kidx,
-                                                 minlength=len(key_names))
-                            starts = np.zeros(len(key_names), np.int64)
-                            np.cumsum(counts[:-1], out=starts[1:])
                             order = np.argsort(kidx, kind="stable")
                             rank = np.empty(total, np.int64)
                             rank[order] = np.arange(total)

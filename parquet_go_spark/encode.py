@@ -191,7 +191,7 @@ def _encode_list_struct_shredded(arr: pa.Array) -> tuple[dict, dict]:
 # keys). High-cardinality or unruly keys fall back to the generic
 # nested codec — correctness is identical, only projection I/O differs.
 MAP_SHRED_MAX_KEYS = 32
-_MAP_KEY_OK = re.compile(r"[A-Za-z0-9_\-]{1,64}$")
+_MAP_KEY_OK = re.compile(r"[A-Za-z0-9_\-]{1,64}\Z")
 
 
 def _encode_map_shredded(arr: pa.Array) -> tuple[dict, dict] | None:

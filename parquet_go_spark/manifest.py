@@ -489,26 +489,44 @@ def _snapshot_ids_on_disk(mdir: str) -> set[int]:
 
 
 # an encode job's in-flight marker protects its uncommitted chunk files
-# from GC; markers older than this are crashed jobs and stop protecting
+# from GC; markers whose mtime goes stale past the TTL are crashed jobs
+# and stop protecting. LIVE jobs longer than the TTL keep protection by
+# heartbeating the marker's mtime (table._inflight_guard does this every
+# INFLIGHT_HEARTBEAT_S) — the GC floor itself comes from the immutable
+# "start" stamp inside the marker JSON, so the heartbeat never raises
+# the floor past chunks the job wrote earlier.
 INFLIGHT_TTL_S = 3600.0
+INFLIGHT_HEARTBEAT_S = INFLIGHT_TTL_S / 6.0
 
 
 def begin_inflight(table_dir: str) -> str:
     """Create an in-flight marker BEFORE any chunk file of an encode
-    job is written: expire_snapshots never deletes chunk files newer
-    than the oldest active marker, so a long-running encode whose
-    chunks land before another writer's later commit (or under clock
-    skew) cannot have them GC'd mid-job — the explicit protocol the
-    old 'newer than the last commit' mtime heuristic only approximated.
-    Crashed jobs stop protecting after INFLIGHT_TTL_S and their markers
-    are swept by the next expire."""
+    job is written: expire_snapshots never deletes chunk/shard files
+    newer than the oldest active marker's START stamp, so a
+    long-running encode whose chunks land before another writer's later
+    commit (or under clock skew) cannot have them GC'd mid-job — the
+    explicit protocol the old 'newer than the last commit' mtime
+    heuristic only approximated. Liveness is the marker's mtime: the
+    holder heartbeats it (heartbeat_inflight / os.utime) so multi-hour
+    backfills outlive INFLIGHT_TTL_S; markers whose mtime goes stale
+    are crashed jobs and are swept by the next expire."""
+    import time as _t
     import uuid
 
     d = os.path.join(table_dir, "_inflight")
     os.makedirs(d, exist_ok=True)
     path = os.path.join(d, f"job-{uuid.uuid4().hex[:12]}.json")
-    _atomic_write_json(path, {"pid": os.getpid()})
+    _atomic_write_json(path, {"pid": os.getpid(), "start": _t.time()})
     return path
+
+
+def heartbeat_inflight(marker: str) -> None:
+    """Refresh a marker's liveness (mtime) without moving its GC floor
+    — the floor reads the JSON "start" stamp, not the mtime."""
+    try:
+        os.utime(marker)
+    except OSError:
+        pass
 
 
 def end_inflight(marker: str) -> None:
@@ -519,8 +537,10 @@ def end_inflight(marker: str) -> None:
 
 
 def _inflight_floor(table_dir: str) -> float:
-    """mtime of the OLDEST active in-flight marker, or +inf if none —
-    chunk files at/after this instant belong to running encode jobs."""
+    """START stamp of the OLDEST live in-flight marker, or +inf if none
+    — chunk/shard files at/after this instant belong to running encode
+    jobs. Liveness = mtime within INFLIGHT_TTL_S (heartbeat-refreshed);
+    pre-heartbeat markers without a "start" stamp fall back to mtime."""
     import time as _t
 
     d = os.path.join(table_dir, "_inflight")
@@ -540,7 +560,13 @@ def _inflight_floor(table_dir: str) -> float:
             except OSError:
                 pass
             continue
-        floor = min(floor, m)
+        start = m
+        try:
+            with open(p) as fh:
+                start = float(json.load(fh).get("start", m))
+        except (OSError, ValueError, TypeError):
+            pass
+        floor = min(floor, start)
     return floor
 
 
@@ -606,7 +632,16 @@ def _gc_floor(table_dir: str) -> float:
 
 
 def _cleanup_manifest_files(mdir: str, expired: list[int],
-                            keep_shards: set) -> None:
+                            keep_shards: set,
+                            floor: float = float("inf")) -> None:
+    """Delete expired snapshot listings and unreferenced shard files —
+    EXCEPT shard files at/after ``floor`` (the GC floor): an encode
+    job's _write_shards_distributed / _commit_append_distributed merge
+    tasks write manifest-* files BEFORE taking the commit lock, so a
+    concurrent expire racing that window must spare them exactly like
+    uncommitted chunk files. Crashed attempts' orphan shards lose
+    protection when their in-flight marker passes INFLIGHT_TTL_S and
+    are swept by the next expire."""
     expired_set = set(expired)
     for fn in os.listdir(mdir):
         if fn.startswith("snap-"):
@@ -617,7 +652,13 @@ def _cleanup_manifest_files(mdir: str, expired: list[int],
             if sid in expired_set:
                 os.unlink(os.path.join(mdir, fn))
         elif fn.startswith("manifest-") and fn not in keep_shards:
-            os.unlink(os.path.join(mdir, fn))
+            fpath = os.path.join(mdir, fn)
+            try:
+                if os.path.getmtime(fpath) >= floor:
+                    continue  # pending commit's shards, in-flight
+                os.unlink(fpath)
+            except OSError:
+                pass
 
 
 def _expire_locked_distributed(spark, table_dir: str, keep: int) -> dict:
@@ -702,7 +743,7 @@ def _expire_locked_distributed(spark, table_dir: str, keep: int) -> dict:
             deleted_chunks += 1
         except OSError:
             pass
-    _cleanup_manifest_files(mdir, expired, keep_shards)
+    _cleanup_manifest_files(mdir, expired, keep_shards, floor)
     return {
         "expired_snapshots": len(expired),
         "retained_snapshots": retained,
@@ -746,7 +787,7 @@ def _expire_locked(table_dir: str, keep: int) -> dict:
                 deleted_chunks += 1
             except OSError:
                 pass
-    _cleanup_manifest_files(mdir, expired, keep_shards)
+    _cleanup_manifest_files(mdir, expired, keep_shards, floor)
     return {
         "expired_snapshots": len(expired),
         "retained_snapshots": retained,

@@ -371,14 +371,18 @@ def _emb_candidates(emb: DataFrame, n_planes: int,
     """LSH candidate pairs (id_a, id_b, ea, eb) from multi-table
     random-hyperplane buckets, with the same HOT-BUCKET CAP discipline
     as ``dedup_minhash_lsh``: buckets wider than ``bucket_cap`` emit a
-    STAR through the bucket's min vec_id — O(k) pairs instead of the
-    O(k²) a k-duplicate megacluster would otherwise materialize inside
-    one task. Star pairs still go through the exact rerank, so emitted
-    pairs are never false positives; within a giant bucket, non-rep
-    pairs lose their direct candidate edge (harmless for dedup — the
-    downstream connected components link them through the rep, and a
-    >cap bucket at the adaptive plane count means near-identical
-    directions)."""
+    STAR through TWO reps (the bucket's min and max vec_id) — O(2k)
+    pairs instead of the O(k²) a k-duplicate megacluster would
+    otherwise materialize inside one task. Star pairs still go through
+    the exact rerank, so emitted pairs are never false positives.
+    Recall guarantee inside a >cap bucket is explicitly TRANSITIVE:
+    a member keeps candidates only via reps whose member-rep edge
+    passes the rerank threshold, so non-rep pairs both of whose rep
+    edges fail are missed in that bucket (they can still surface from
+    any of the other DEDUP_EMB_TABLES-1 tables). The second rep halves
+    the per-table single-rep failure mode; the documented per-pair miss
+    bound in ``dedup_embedding_df`` holds only for pairs outside capped
+    buckets."""
 
     def signature(batches):
         import numpy as np
@@ -409,7 +413,8 @@ def _emb_candidates(emb: DataFrame, n_planes: int,
         signature, "vec_id long, tbl int, bucket long, embedding array<float>"
     )
     sizes = sig.groupBy("tbl", "bucket").agg(
-        F.count("*").alias("_bsz"), F.min("vec_id").alias("_rep")
+        F.count("*").alias("_bsz"), F.min("vec_id").alias("_rep"),
+        F.max("vec_id").alias("_rep2"),
     )
     tagged = sig.join(sizes, ["tbl", "bucket"])
     small = tagged.filter(F.col("_bsz") <= bucket_cap)
@@ -423,18 +428,28 @@ def _emb_candidates(emb: DataFrame, n_planes: int,
         )
     )
     # star members carry their own embedding; the (few) reps' embeddings
-    # arrive via one more join keyed on the rep id
-    star_members = (
-        tagged.filter((F.col("_bsz") > bucket_cap)
-                      & (F.col("vec_id") != F.col("_rep")))
-        .select(F.col("_rep").alias("id_a"),
-                F.col("vec_id").alias("id_b"),
-                F.col("embedding").alias("eb"))
+    # arrive via one more join keyed on the rep id. Two reps per bucket
+    # (min + max vec_id) so a member whose min-rep edge fails the exact
+    # rerank still has a second chance inside the same bucket.
+    hot = tagged.filter(F.col("_bsz") > bucket_cap)
+    star_edges = (
+        hot.select(F.col("_rep").alias("rid"),
+                   F.col("vec_id").alias("mid"),
+                   F.col("embedding").alias("em"))
+        .unionByName(
+            hot.select(F.col("_rep2").alias("rid"),
+                       F.col("vec_id").alias("mid"),
+                       F.col("embedding").alias("em")))
+        .filter(F.col("rid") != F.col("mid"))
     )
-    reps = emb.select(F.col("vec_id").alias("id_a"),
-                      F.col("embedding").alias("ea"))
-    pairs_star = star_members.join(reps, "id_a").select(
-        "id_a", "id_b", "ea", "eb"
+    reps = emb.select(F.col("vec_id").alias("rid"),
+                      F.col("embedding").alias("er"))
+    rep_first = F.col("rid") < F.col("mid")
+    pairs_star = star_edges.join(reps, "rid").select(
+        F.least("rid", "mid").alias("id_a"),
+        F.greatest("rid", "mid").alias("id_b"),
+        F.when(rep_first, F.col("er")).otherwise(F.col("em")).alias("ea"),
+        F.when(rep_first, F.col("em")).otherwise(F.col("er")).alias("eb"),
     )
     return (
         pairs_small.unionByName(pairs_star)
@@ -457,7 +472,9 @@ def dedup_embedding_df(emb: DataFrame, threshold: float = 0.42,
     that resolves to the same 2 planes × 16 tables verified exhaustively
     vs dedup_embedding_exact in pytest and against the brute-force SQL
     oracle at sf0.01 (per-pair miss ≈ (0.59)^16 ≈ 2·10⁻⁴ at the low
-    0.42 threshold). Shuffle cost: O(n·tables) signature rows instead
+    0.42 threshold — for pairs OUTSIDE >cap buckets; capped buckets
+    only guarantee recall transitively through the two per-bucket reps,
+    see ``_emb_candidates``). Shuffle cost: O(n·tables) signature rows instead
     of the crossJoin's O(n²); per-task pair fan-out bounded by
     bucket_cap² per bucket."""
     n = emb.count()  # metadata-cheap on parquet; fixes the plane count

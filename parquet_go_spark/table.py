@@ -59,19 +59,34 @@ TRANSCRIPT_DDL = ("conv_id string, turn_idx int, role string, "
 
 def _inflight_guard(pos: int):
     """Bracket a chunk-writing op with an in-flight marker (see
-    manifest.begin_inflight): expire_snapshots spares chunk files newer
-    than any active marker, so a concurrent GC can never delete this
-    job's uncommitted chunks. ``pos`` = positional index of table_dir."""
+    manifest.begin_inflight): expire_snapshots spares chunk/shard files
+    newer than any live marker's start stamp, so a concurrent GC can
+    never delete this job's uncommitted files. A daemon heartbeat
+    thread refreshes the marker's liveness every INFLIGHT_HEARTBEAT_S
+    so jobs longer than INFLIGHT_TTL_S — the design target is
+    multi-hour 10¹²-row backfills — keep protection for their whole
+    run. ``pos`` = positional index of table_dir."""
     import functools
+    import threading
 
     def deco(fn):
         @functools.wraps(fn)
         def wrapper(*args, **kwargs):
             table_dir = kwargs.get("table_dir") or args[pos]
             marker = manifest.begin_inflight(table_dir)
+            stop = threading.Event()
+
+            def beat():
+                while not stop.wait(manifest.INFLIGHT_HEARTBEAT_S):
+                    manifest.heartbeat_inflight(marker)
+
+            t = threading.Thread(target=beat, daemon=True,
+                                 name="inflight-heartbeat")
+            t.start()
             try:
                 return fn(*args, **kwargs)
             finally:
+                stop.set()
                 manifest.end_inflight(marker)
 
         return wrapper
@@ -467,9 +482,12 @@ def _write_shards_distributed(entries_df: DataFrame,
     """Second encode stage: group entry rows by manifest shard and let
     each task write ONE immutable shard file; return O(shards)
     summaries. Shard files carry a per-commit token (not the snapshot
-    id — that is assigned later under the commit lock); crashed
-    attempts leave orphan shard files that expire_snapshots ignores
-    and a future GC can sweep, exactly like Iceberg orphan files."""
+    id — that is assigned later under the commit lock). Pending shards
+    written before the commit are spared by a concurrent
+    expire_snapshots via the GC floor (the caller's in-flight marker,
+    see manifest._cleanup_manifest_files); crashed attempts' orphan
+    shards lose protection when the marker passes INFLIGHT_TTL_S and
+    the next expire sweeps them, exactly like Iceberg orphan files."""
     import uuid
 
     token = uuid.uuid4().hex[:12]

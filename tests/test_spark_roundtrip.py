@@ -1109,6 +1109,10 @@ def test_inflight_marker_protects_chunks_from_gc(spark, tmp_path):
     # writer commits (bumping _manifest_list.json's mtime past both)
     marker = manifest.begin_inflight(out)
     t_marker = time.time() - 1800  # long-running but within INFLIGHT_TTL_S
+    # simulate a job that STARTED 30 min ago: the GC floor reads the
+    # marker's JSON "start" stamp (mtime is only liveness)
+    with open(marker, "w") as f:
+        json.dump({"pid": 1, "start": t_marker}, f)
     os.utime(marker, (t_marker, t_marker))
     slow_chunk = os.path.join(out, "chunks", "chunk-slowjob.parquet")
     with open(slow_chunk, "wb") as f:
@@ -1135,6 +1139,73 @@ def test_inflight_marker_protects_chunks_from_gc(spark, tmp_path):
     assert not os.path.exists(orphan), res3
     assert not os.path.exists(marker2)
     assert table.read_table(spark, out).count() == df.count() + 10
+
+
+def test_inflight_heartbeat_outlives_ttl(spark, tmp_path):
+    """A job running LONGER than INFLIGHT_TTL_S keeps GC protection as
+    long as it heartbeats: liveness is the marker's mtime (refreshed by
+    heartbeat_inflight), the GC floor is the immutable JSON "start"
+    stamp — so chunks written hours ago by the still-live job survive a
+    concurrent expire even after another writer commits (ADVICE r4)."""
+    import time
+
+    df = make_transcripts_df(spark, n_conv=20, seed=78)
+    out = str(tmp_path / "tbl")
+    table.write_table(df, out, num_chunks=2)
+    marker = manifest.begin_inflight(out)
+    t_start = time.time() - manifest.INFLIGHT_TTL_S - 600  # >1h-old job
+    with open(marker, "w") as f:
+        json.dump({"pid": 1, "start": t_start}, f)
+    manifest.heartbeat_inflight(marker)  # fresh mtime = live
+    old_chunk = os.path.join(out, "chunks", "chunk-marathon.parquet")
+    with open(old_chunk, "wb") as f:
+        f.write(b"PAR1fake")
+    os.utime(old_chunk, (t_start + 10, t_start + 10))
+    # another writer commits, bumping the last-commit floor past t_start
+    table.write_table(df.limit(5), out, num_chunks=1,
+                      chunk_prefix="later2-", append=True)
+    res = manifest.expire_snapshots(out, keep=1)
+    assert os.path.exists(old_chunk), res  # start-stamp floor held
+    # heartbeat refreshes mtime but never the floor
+    m_before = os.path.getmtime(marker)
+    os.utime(marker, (m_before - 30, m_before - 30))
+    manifest.heartbeat_inflight(marker)
+    assert os.path.getmtime(marker) > m_before - 30
+    assert manifest._inflight_floor(out) == pytest.approx(t_start)
+    manifest.end_inflight(marker)
+    res2 = manifest.expire_snapshots(out, keep=1)
+    assert not os.path.exists(old_chunk), res2
+
+
+def test_expire_spares_pending_shard_manifests(spark, tmp_path):
+    """_write_shards_distributed / the distributed APPEND merge write
+    manifest-* shard files into _manifests/ BEFORE taking the commit
+    lock; a concurrent expire must spare them via the GC floor exactly
+    like uncommitted chunk files, else the commit lands referencing
+    deleted shards (ADVICE r4 medium). Crashed attempts' orphans (no
+    live marker, mtime below the floor) are still swept."""
+    import time
+
+    df = make_transcripts_df(spark, n_conv=20, seed=79)
+    out = str(tmp_path / "tbl")
+    table.write_table(df, out, num_chunks=2)
+    table.write_table(df.limit(5), out, num_chunks=1,
+                      chunk_prefix="x-", append=True)
+    mdir = os.path.join(out, "_manifests")
+    # a racing encode: marker live, pending shard written pre-commit
+    marker = manifest.begin_inflight(out)
+    pending = os.path.join(mdir, "manifest-pending1-root.json")
+    with open(pending, "w") as f:
+        json.dump({"entries": []}, f)
+    res = manifest.expire_snapshots(out, keep=1)
+    assert os.path.exists(pending), res
+    manifest.end_inflight(marker)
+    # crashed attempt: shard older than the last-commit floor, no marker
+    t_old = time.time() - 7200
+    os.utime(pending, (t_old, t_old))
+    res2 = manifest.expire_snapshots(out, keep=1)
+    assert not os.path.exists(pending), res2
+    assert table.read_table(spark, out).count() == df.count() + 5
 
 
 def test_count_rows_historical_pre02_snapshot(spark, tmp_path):
