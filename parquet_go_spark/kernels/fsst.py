@@ -43,6 +43,7 @@ import struct
 
 import numpy as np
 
+from . import native
 from .delta import for_decode, for_encode
 
 __all__ = ["fsst_train", "fsst_encode", "fsst_decode"]
@@ -333,6 +334,37 @@ def _parse_strings(data: np.ndarray, offsets: np.ndarray,
     return P[o], C[o]
 
 
+def _parse_emit_native(data: np.ndarray, parse_off: np.ndarray,
+                       mt: _MatchTables) -> np.ndarray:
+    """Compiled parse+emit (kernels/native.py): the same greedy
+    longest-match walk as _parse_strings + _emit in one C pass —
+    bit-identical output (tests/test_native.py), ~20x less memory
+    traffic, no segmenting needed (the loop is cache-linear)."""
+    n = len(data)
+    pad = np.zeros(n + _MAX_SYM, np.uint8)
+    pad[:n] = data
+    offs = np.ascontiguousarray(parse_off, dtype=np.int64)
+    out = np.empty(2 * n + 16, np.uint8)
+    f = native.ffi
+    m = native.lib.pgs_fsst_parse(
+        f.cast("uint8_t *", pad.ctypes.data),
+        f.cast("int64_t *", offs.ctypes.data),
+        len(offs) - 1,
+        f.cast("uint8_t *", mt.t1.ctypes.data),
+        f.cast("uint8_t *", mt.t2.ctypes.data),
+        f.cast("uint64_t *", mt.hkey_hi.ctypes.data),
+        f.cast("uint64_t *", mt.hmask_hi.ctypes.data),
+        f.cast("uint64_t *", mt.hkey_lo.ctypes.data),
+        f.cast("uint64_t *", mt.hmask_lo.ctypes.data),
+        f.cast("int64_t *", mt.hlen.ctypes.data),
+        f.cast("uint8_t *", mt.hcode.ctypes.data),
+        f.cast("uint8_t *", mt.hocc.ctypes.data),
+        1 if mt.has_long else 0,
+        f.cast("uint8_t *", out.ctypes.data),
+    )
+    return out[:m]
+
+
 def _emit(data: np.ndarray, P: np.ndarray, codes: np.ndarray) -> np.ndarray:
     """Build the encoded byte stream from parse units."""
     esc = codes == _ESCAPE
@@ -477,6 +509,8 @@ def fsst_encode(lengths: np.ndarray, data: np.ndarray,
     # buffer per worker re-saturates the memory bus at 32-way
     # concurrency). Exact: the parse is per-string anyway.
     def _payload(mt_):
+        if native.lib is not None:
+            return _parse_emit_native(data, parse_off, mt_)
         parts = []
         n_str = len(parse_off) - 1
         i = 0
@@ -546,6 +580,27 @@ def fsst_decode(buf: bytes | memoryview) -> tuple[np.ndarray, np.ndarray]:
         raise ValueError("fsst length-sum / raw-size mismatch")
     if raw_len == 0:
         return offsets, np.zeros(0, np.uint8)
+
+    if native.lib is not None:
+        # compiled expansion (kernels/native.py): sequential
+        # code→symbol copy, same validation surface as the numpy path
+        sym_pad = np.zeros(total_sym + _MAX_SYM, np.uint8)
+        sym_pad[:total_sym] = sym_flat
+        sym_len8 = np.ascontiguousarray(sym_len, dtype=np.uint8)
+        enc_c = np.ascontiguousarray(enc)
+        out = np.empty(raw_len + _MAX_SYM, np.uint8)
+        f = native.ffi
+        m = native.lib.pgs_fsst_expand(
+            f.cast("uint8_t *", enc_c.ctypes.data), len(enc_c),
+            f.cast("uint8_t *", sym_pad.ctypes.data),
+            f.cast("int64_t *", sym_off.ctypes.data),
+            f.cast("uint8_t *", sym_len8.ctypes.data),
+            n_sym,
+            f.cast("uint8_t *", out.ctypes.data), raw_len,
+        )
+        if m != raw_len:
+            raise ValueError("fsst stream malformed or size mismatch")
+        return offsets, out[:raw_len]
 
     # --- escape resolution: in a maximal run of 255-bytes, even offsets
     # are escapes, each consuming the following byte as a literal ---
