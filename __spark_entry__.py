@@ -229,7 +229,11 @@ def oracle_sql() -> dict[str, str]:
         "nested_prune":
             "SELECT event_id, user_id AS meta_u, "
             "CASE WHEN event_id % 5 <> 0 THEN value END AS meta_v, "
-            "CASE WHEN event_id % 11 <> 0 THEN event_type END AS attr_et "
+            "CASE WHEN event_id % 11 <> 0 THEN event_type END AS attr_et, "
+            "CASE WHEN event_id % 7 <> 0 THEN CAST(FLOOR(value) AS DOUBLE) "
+            "END AS dur_s, "
+            "CASE WHEN event_id % 7 <> 0 THEN "
+            "CAST(CAST(value AS DECIMAL(38,6)) AS DOUBLE) END AS amt "
             "FROM events",
         "nested_list_prune": """
             WITH t AS (

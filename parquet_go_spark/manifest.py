@@ -731,18 +731,30 @@ def _expire_locked_distributed(spark, table_dir: str, keep: int) -> dict:
     disk_df = spark.createDataFrame(
         _pd.DataFrame({"d": [cdir]}), "d string"
     ).mapInPandas(list_chunks, "name string, mtime double")
-    deletable = (
+    def unlink_chunks(pdfs):
+        import os as _os
+
+        for pdf in pdfs:
+            n = 0
+            for name in pdf["name"]:
+                try:
+                    _os.unlink(_os.path.join(cdir, name))
+                    n += 1
+                except OSError:
+                    pass
+            yield _pd.DataFrame({"n": [n]})
+
+    # the unlink happens INSIDE tasks (r4 VERDICT: a mass-crash can
+    # leave O(millions) orphans — a driver-side list would balloon);
+    # only the scalar per-task counts come back
+    row = (
         disk_df.filter(F.col("mtime") < F.lit(floor))
         .join(keep_df, "name", "left_anti")
-        .select("name").collect()
+        .repartition(max(spark.sparkContext.defaultParallelism, 1))
+        .mapInPandas(unlink_chunks, "n long")
+        .agg(F.sum("n").alias("n")).collect()
     )
-    deleted_chunks = 0
-    for r in deletable:
-        try:
-            os.unlink(os.path.join(cdir, r["name"]))
-            deleted_chunks += 1
-        except OSError:
-            pass
+    deleted_chunks = int(row[0]["n"] or 0)
     _cleanup_manifest_files(mdir, expired, keep_shards, floor)
     return {
         "expired_snapshots": len(expired),

@@ -273,12 +273,16 @@ def q_selective_revenue(spark, sf_dir):
 
 
 def q_nested_prune(spark, sf_dir):
-    """Dremel-style nested projection: a struct column is shredded into
-    per-child blob columns at encode; reading ``meta.u`` decodes (and
-    reads from storage) only that child's bytes + the validity shell.
-    Also covers map<string,V> per-KEY shredding (SURVEY §1.2 MAP row):
-    ``attrs.et`` reads the shell + one key's value blob and returns the
-    value under that key per row (null for null maps)."""
+    """Dremel-style nested projection over the MIXED fixture
+    (FIXTURES.md §F7): one table carrying a shredded struct, a per-KEY
+    shredded map<string,V> (SURVEY §1.2 MAP row), AND a list<struct>
+    whose elements mix an ANSI day-time interval with a >18-precision
+    decimal — the three r4 lowering paths (interval leaf lowering,
+    map-key shredding, two-halves PFOR decimal) side by side in one
+    chunk. Reading ``meta.u`` decodes only that child's bytes + the
+    validity shell; ``attrs.et`` reads the shell + one key's value
+    blob; ``calls`` reconstructs the full nested column with the
+    interval restored under the manifest DDL."""
     ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
     df = ev.select(
         "event_id",
@@ -291,16 +295,31 @@ def q_nested_prune(spark, sf_dir):
             F.lit("et"), F.col("event_type"),
             F.lit("src"), F.upper(F.col("event_type")),
         )).alias("attrs"),
+        F.when(F.col("event_id") % 7 != 0, F.array(
+            F.struct(
+                F.col("event_type").alias("name"),
+                F.make_dt_interval(
+                    F.lit(0), F.lit(0), F.lit(0),
+                    F.floor("value").cast("decimal(18,6)"),
+                ).alias("dur"),
+                F.col("value").cast("decimal(38,6)").alias("amt"),
+            ),
+        )).alias("calls"),
     )
     out = os.path.join(tempfile.mkdtemp(prefix="pgs_shred_"), "events")
     table.write_table(df, out, key_cols=("event_id",), num_chunks=4)
     flat = table.read_table(spark, out, columns=["event_id", "meta.u",
-                                                 "meta.v", "attrs.et"])
+                                                 "meta.v", "attrs.et",
+                                                 "calls"])
     return flat.select(
         "event_id",
         F.col("`meta.u`").alias("meta_u"),
         F.col("`meta.v`").alias("meta_v"),
         F.col("`attrs.et`").alias("attr_et"),
+        F.expr("CAST(try_element_at(calls, 1).dur div INTERVAL '1' SECOND"
+               " AS DOUBLE)").alias("dur_s"),
+        F.expr("CAST(try_element_at(calls, 1).amt AS DOUBLE)")
+         .alias("amt"),
     )
 
 

@@ -1320,19 +1320,33 @@ def test_distributed_expire_never_materializes_entries(spark, tmp_path,
     driver handles only refs and the unlink list. GC'd: an old orphan;
     kept: every referenced chunk; expired: the superseded snapshot."""
     out, df = _synthesize_big_manifest(spark, tmp_path, n_fake=20_000)
-    orphan = os.path.join(out, "chunks", "chunk-orphan0.parquet")
-    with open(orphan, "wb") as f:
-        f.write(b"PAR1fake")
-    os.utime(orphan, (1, 1))
+    n_orphans = 2_000  # mass-crash shape: many uncommitted leftovers
+    for i in range(n_orphans):
+        orphan = os.path.join(out, "chunks", f"chunk-orphan{i}.parquet")
+        with open(orphan, "wb") as f:
+            f.write(b"PAR1fake")
+        os.utime(orphan, (1, 1))
 
     def boom(*a, **k):
         raise AssertionError("driver materialized manifest entries")
 
     monkeypatch.setattr(manifest, "_read_entries", boom)
     monkeypatch.setattr(manifest, "load", boom)
+    # the orphan unlink must happen INSIDE tasks (r4 VERDICT item 5):
+    # worker processes don't see this monkeypatch, so any driver-side
+    # unlink of a chunk file trips it (manifest/lock unlinks are fine)
+    real_unlink = os.unlink
+
+    def guarded_unlink(path, *a, **k):
+        if os.sep + "chunks" + os.sep in str(path):
+            raise AssertionError(f"driver-side chunk unlink: {path}")
+        return real_unlink(path, *a, **k)
+
+    monkeypatch.setattr(manifest.os, "unlink", guarded_unlink)
     res = manifest.expire_snapshots(out, keep=1, spark=spark)
-    assert res["deleted_chunks"] == 1, res
-    assert not os.path.exists(orphan)
+    assert res["deleted_chunks"] == n_orphans, res
+    assert not os.path.exists(
+        os.path.join(out, "chunks", "chunk-orphan0.parquet"))
     assert res["expired_snapshots"] >= 1  # snap-0 superseded by snap-9
     monkeypatch.undo()
     got = table.read_table(
