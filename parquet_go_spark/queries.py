@@ -274,7 +274,7 @@ def q_selective_revenue(spark, sf_dir):
 
 def q_nested_prune(spark, sf_dir):
     """Dremel-style nested projection over the MIXED fixture
-    (FIXTURES.md §F7): one table carrying a shredded struct, a per-KEY
+    (FIXTURES.md §F5): one table carrying a shredded struct, a per-KEY
     shredded map<string,V> (SURVEY §1.2 MAP row), AND a list<struct>
     whose elements mix an ANSI day-time interval with a >18-precision
     decimal — the three r4 lowering paths (interval leaf lowering,
