@@ -218,10 +218,10 @@ def main() -> int:
             # long single-threaded phases are the most likely to span a
             # host load spike — give each one extra sample
             n_reps = repeats + 1 if lvl in levels[:2] else repeats
-            if lvl in levels[:2]:
-                # the scaling pair hinges on these two levels — start
-                # them in a quiet window (external host load spikes)
-                _wait_quiet()
+            # every level starts in a quiet window: an external load
+            # spike spanning a whole level's reps (r5: a local[32]
+            # best-of-3 read 18 s vs 1.7 s isolated) poisons best-of-N
+            _wait_quiet()
             best = _encode_decode_reps(
                 f"local[{lvl}]", src,
                 os.path.join(workdir, f"enc_{lvl}"), n_reps,

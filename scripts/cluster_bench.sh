@@ -46,16 +46,35 @@ else:
     print("input reused:", d)
 EOF
 
-TUNE="--conf spark.shuffle.compress=false \
-      --conf spark.shuffle.spill.compress=false \
+# SHUFFLE_COMPRESS=true (default) keeps shuffle blocks lz4-compressed:
+# on the N→4N pair the compress/decompress CPU parallelizes with cores
+# while the raw-byte bus/loopback traffic it replaces does not, so the
+# kernel-free floor scales measurably better (r5 A/B below in
+# BENCH/BASELINE.md). false reproduces the r4 cells.
+SHUFFLE_COMPRESS="${SHUFFLE_COMPRESS:-true}"
+TUNE="--conf spark.shuffle.compress=${SHUFFLE_COMPRESS} \
+      --conf spark.shuffle.spill.compress=${SHUFFLE_COMPRESS} \
       --conf spark.local.dir=/dev/shm/spark-tmp \
       --conf spark.sql.execution.arrow.maxRecordsPerBatch=65536 \
       --conf spark.sql.shuffle.partitions=128"
+# quiet-window gate (VERDICT r4 item 7): this host has external load
+# spikes that polluted the r4 cluster reps (2 GB rep-2 encode 84.8 s vs
+# 48.5 s). Park up to 3 min for 1-min loadavg < 1.2 before each cell.
+wait_quiet() {
+  for _ in $(seq 1 36); do
+    LOAD=$(cut -d' ' -f1 /proc/loadavg)
+    awk -v l="$LOAD" 'BEGIN{exit !(l < 1.2)}' && return 0
+    sleep 5
+  done
+  echo "wait_quiet: still loaded ($LOAD), proceeding" >&2
+}
+
 for MODE in $MODES; do
   for N in 1 4; do
     for REP in $(seq 1 "$REPS"); do
       rm -rf "/tmp/pgs_out_cluster_${MODE}_${N}_${REP}"
-      echo "mode=$MODE cores=$N rep=$REP"
+      wait_quiet
+      echo "mode=$MODE cores=$N rep=$REP load=$(cut -d' ' -f1 /proc/loadavg)"
       /opt/spark/bin/spark-submit --master spark://127.0.0.1:7077 \
         --executor-cores 1 --executor-memory 4g --total-executor-cores "$N" \
         $TUNE --py-files /tmp/pgs.zip scripts/submit_job.py \
