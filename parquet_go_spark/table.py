@@ -929,10 +929,18 @@ def write_table_direct(
     rows = [(f"{chunk_prefix}{i:06d}", json.dumps(g))
             for i, g in enumerate(groups)]
     par = min(len(rows), spark.sparkContext.defaultParallelism) or 1
+    # repartitionByRange, not repartition(par): round-robin starts at a
+    # RANDOM bucket per input partition, so the chunk->task grouping —
+    # and with it the per-task FSST symbol-table reuse groups, hence
+    # the encoded bytes — changed run to run (r5: two identical 4-core
+    # direct runs produced 121327330 vs 120661853 B). Range partitioning
+    # on the zero-padded chunk_id is deterministic for a fixed input
+    # listing AND keeps consecutive chunks in one task, which is what
+    # the reuse ratio-guard wants (neighboring chunks share vocabulary).
     files_df = spark.createDataFrame(
         pd.DataFrame(rows, columns=["chunk_id", "files"]),
         "chunk_id string, files string",
-    ).repartition(par)
+    ).repartitionByRange(par, "chunk_id")
     fn = make_direct_encode_fn(table_dir, key_cols, overrides, resume,
                                bloom_cols)
     entries_df = files_df.mapInArrow(
