@@ -47,12 +47,17 @@ SCHEMA = pa.schema(
 
 
 def make_transcripts(
-    n_conv: int, seed: int = 42, giant_conv_turns: int = 0
+    n_conv: int, seed: int = 42, giant_conv_turns: int = 0,
+    _text_slice_rows: int = 4_000_000
 ) -> pa.Table:
     """Generate the deterministic transcript table as a pyarrow Table.
 
     ``giant_conv_turns`` > 0 appends one extra conversation with that many
-    turns (the skew fixture)."""
+    turns (the skew fixture). ``_text_slice_rows`` bounds how many rows'
+    words are materialized per text-build slice: one giant call (1.6 M
+    convs ≈ 1e9 words ≈ 6 GB of word bytes) overflows the 32-bit string
+    offsets if joined in a single array — values are identical for any
+    slice size, only the chunking of the ``text`` column differs."""
     rng = np.random.default_rng(seed)
     lens = rng.integers(2, 40, n_conv)
     if giant_conv_turns:
@@ -76,16 +81,27 @@ def make_transcripts(
     role = ROLES[role_idx]
     tool = np.where(role_idx == 1, TOOLS[tool10], "")
 
-    # text: ListArray of words joined by " " (vectorized in arrow C++)
+    # text: ListArray of words joined by " " (vectorized in arrow C++),
+    # built per row-slice so each slice's flat word bytes stay far below
+    # the 32-bit string-offset ceiling
     woff = np.zeros(n + 1, dtype=np.int64)
     np.cumsum(wc, out=woff[1:])
-    flat_words = pa.array(VOCAB[words])
-    if isinstance(flat_words, pa.ChunkedArray):
-        flat_words = flat_words.combine_chunks()
-    word_list = pa.LargeListArray.from_arrays(
-        pa.array(woff, type=pa.int64()), flat_words
-    )
-    text = pc.binary_join(word_list, pa.scalar(" ", type=flat_words.type))
+    text_chunks = []
+    for r0 in range(0, n, _text_slice_rows):
+        r1 = min(n, r0 + _text_slice_rows)
+        w0 = int(woff[r0])
+        flat = pa.array(VOCAB[words[w0:int(woff[r1])]])
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        word_list = pa.LargeListArray.from_arrays(
+            pa.array(woff[r0 : r1 + 1] - w0, type=pa.int64()), flat
+        )
+        text_chunks.append(
+            pc.binary_join(word_list, pa.scalar(" ", type=flat.type)).cast(
+                pa.string()
+            )
+        )
+    text = pa.chunked_array(text_chunks)
 
     # ts: per-conv start + cumsum of per-turn deltas (turn 0 = start + delta0)
     cum = np.cumsum(deltas)
@@ -100,7 +116,7 @@ def make_transcripts(
             "conv_id": pa.array(conv_id, type=pa.string()),
             "turn_idx": pa.array(turn_idx, type=pa.int32()),
             "role": pa.array(role, type=pa.string()),
-            "text": text.cast(pa.string()),
+            "text": text,
             "tool": pa.array(tool, type=pa.string()),
             "ts": pa.array(ts, type=pa.timestamp("us")),
         },

@@ -35,13 +35,24 @@ from parquet_go_spark.fixtures import make_transcripts
 d = os.environ["IN_DIR"]
 if not os.path.isdir(d) or not os.listdir(d):
     os.makedirs(d, exist_ok=True)
-    t = make_transcripts(int(os.environ["N_CONV"]), seed=42)
-    step = (t.num_rows+63)//64
-    for i in range(0, t.num_rows, step):
-        pq.write_table(t.slice(i, step),
-                       f"{d}/p{i//step:04d}.parquet",
-                       row_group_size=1<<15)
-    print("input rows:", t.num_rows)
+    n_conv = int(os.environ["N_CONV"])
+    # shard generation above 2 GB: one seed per <=400k-conv shard keeps
+    # the generator's peak RSS bounded (a single 1.6M-conv call holds
+    # >60 GB of intermediates) while the shards stay deterministic and
+    # content-diverse (seed 42+k, not 8 copies of the same 200k convs)
+    n_shards = max(1, n_conv // 400000)
+    files_per_shard = 64 // n_shards
+    total = 0
+    for k in range(n_shards):
+        t = make_transcripts(n_conv // n_shards, seed=42 + k)
+        total += t.num_rows
+        step = (t.num_rows + files_per_shard - 1) // files_per_shard
+        for i in range(0, t.num_rows, step):
+            pq.write_table(
+                t.slice(i, step),
+                f"{d}/p{k*files_per_shard + i//step:04d}.parquet",
+                row_group_size=1<<15)
+    print("input rows:", total)
 else:
     print("input reused:", d)
 EOF

@@ -143,3 +143,12 @@ def test_table_cache_reuse_and_ratio_guard():
     assert b3 == b3_fresh
     off, dat = fsst_decode(b3)
     assert bytes(dat) == drift
+
+
+def test_fixture_text_slicing_invariant():
+    """make_transcripts builds text in row slices (32-bit offset guard
+    for 1e9-word inputs); values must not depend on the slice size."""
+    a = make_transcripts(500, seed=7)
+    b = make_transcripts(500, seed=7, _text_slice_rows=13)
+    assert b.column("text").num_chunks > 1
+    assert a.to_pydict() == b.to_pydict()
