@@ -48,12 +48,16 @@ SCHEMA = pa.schema(
 
 def make_transcripts(
     n_conv: int, seed: int = 42, giant_conv_turns: int = 0,
-    _text_slice_rows: int = 4_000_000
+    _text_slice_rows: int = 4_000_000, conv_prefix: str = "conv-"
 ) -> pa.Table:
     """Generate the deterministic transcript table as a pyarrow Table.
 
     ``giant_conv_turns`` > 0 appends one extra conversation with that many
-    turns (the skew fixture). ``_text_slice_rows`` bounds how many rows'
+    turns (the skew fixture). ``conv_prefix`` namespaces the conv ids
+    (sharded multi-seed generation must not collide ids across shards —
+    colliding ids interleave unrelated conversations under the
+    (conv_id, turn_idx) sort and randomize ts deltas).
+    ``_text_slice_rows`` bounds how many rows'
     words are materialized per text-build slice: one giant call (1.6 M
     convs ≈ 1e9 words ≈ 6 GB of word bytes) overflows the 32-bit string
     offsets if joined in a single array — values are identical for any
@@ -109,7 +113,8 @@ def make_transcripts(
     secs = starts[conv_of_row] + (cum - np.repeat(conv_cum_base, lens))
     ts = EPOCH0 + (secs * 1_000_000).astype("timedelta64[us]")
 
-    conv_id = np.char.add("conv-", np.char.zfill(conv_of_row.astype("U8"), 8))
+    conv_id = np.char.add(conv_prefix,
+                          np.char.zfill(conv_of_row.astype("U8"), 8))
 
     return pa.table(
         {

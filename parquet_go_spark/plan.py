@@ -41,6 +41,8 @@ class ColumnStats:
     min_val: object = None
     max_val: object = None
     extras: dict = field(default_factory=dict)
+    sample_len: int = 0          # rows the distinct count was measured on
+    #                              (0 = exact, covered every non-null row)
 
 
 def profile_array(arr: pa.Array, name: str = "", sample: int = 65536) -> ColumnStats:
@@ -69,6 +71,7 @@ def profile_array(arr: pa.Array, name: str = "", sample: int = 65536) -> ColumnS
     a = arr.drop_null() if nulls else arr
     # sample for the expensive stats on very large chunks
     s = a.slice(0, sample) if len(a) > sample else a
+    st.sample_len = len(s)
     st.n_distinct = len(pc.unique(s))
     if len(a) > sample and st.n_distinct == len(s):
         # saturated sample → treat as all-distinct
@@ -155,7 +158,20 @@ def choose_codec(st: ColumnStats) -> tuple[str, str]:
     choice against plain size and falls back (dict-page fallback parity)."""
     t = st.arrow_type
     n = max(st.n - st.null_count, 1)
-    distinct_ratio = st.n_distinct / n
+    # The distinct count may come from a bounded sample (profile_array
+    # caps the pc.unique pass at 64k rows). A sampled distinct is a
+    # LOWER bound for the chunk: dividing it by the FULL row count read
+    # the ratio 4x low on 250k-row chunks and flipped wide text columns
+    # to dict+zstd (1.6x the fsst size — found by the r5 8 GB cluster
+    # run). Judge the ratio within the profiled rows and linearly
+    # extrapolate the cardinality for the dict-viability cap: exact for
+    # full coverage, conservative (over-estimates distinct, errs toward
+    # fsst/plain) under heavy-hitter skew, where the dict arms keep
+    # winning on the ratio test anyway.
+    samp = st.sample_len if 0 < st.sample_len < n else n
+    distinct_ratio = min(1.0, st.n_distinct / samp)
+    est_distinct = (st.n_distinct if samp >= n
+                    else min(n, (st.n_distinct * n) // samp))
 
     if t == "bool":
         return "plain", "none"
@@ -175,12 +191,12 @@ def choose_codec(st: ColumnStats) -> tuple[str, str]:
         return "plain", "none"  # generic list<T>: recursive child blobs
 
     if t in ("binary", "large_binary"):
-        if st.n_distinct <= DICT_MAX_CARD and distinct_ratio <= DICT_MAX_RATIO:
+        if est_distinct <= DICT_MAX_CARD and distinct_ratio <= DICT_MAX_RATIO:
             return "dict", "zstd"
         return "plain", "zstd"
 
     if "string" in t:
-        if st.n_distinct <= DICT_MAX_CARD and distinct_ratio <= DICT_MAX_RATIO:
+        if est_distinct <= DICT_MAX_CARD and distinct_ratio <= DICT_MAX_RATIO:
             return "dict", "zstd"
         # front-coding (DELTA_BYTE_ARRAY, E6) for sorted high-cardinality
         # strings with strong shared prefixes — the sorted-conv_id shape.
@@ -201,10 +217,10 @@ def choose_codec(st: ColumnStats) -> tuple[str, str]:
         return "bss", "zstd"
 
     # ints / timestamps / dates
-    if st.n_distinct <= DICT_MAX_CARD and distinct_ratio <= 0.1 and st.run_frac > 0.3:
+    if est_distinct <= DICT_MAX_CARD and distinct_ratio <= 0.1 and st.run_frac > 0.3:
         return "dict", "none"
     if st.sorted_frac >= SORTED_FRAC_FOR_DELTA:
         return "delta", "none"
-    if st.n_distinct <= DICT_MAX_CARD and distinct_ratio <= 0.1:
+    if est_distinct <= DICT_MAX_CARD and distinct_ratio <= 0.1:
         return "dict", "none"
     return "for", "none"

@@ -474,3 +474,20 @@ def test_map_shred_kernel_roundtrip_and_projection(tmp_path):
     fn = make_decode_fn(["attrs.c"], column_types={"attrs.c": pa.int64()})
     out = pa.Table.from_batches(list(fn(iter([b2]))))
     assert out.column("attrs.c").to_pylist() == [2, 9]
+
+
+def test_selector_sampled_distinct_not_diluted_by_chunk_size():
+    """A 250k-row wide-text chunk must still pick fsst: the distinct
+    count is measured on a 64k sample, and dividing it by the FULL row
+    count read the ratio 4x low and flipped text to dict (1.6x the fsst
+    size — r5 8 GB cluster run)."""
+    import pyarrow as pa
+
+    uniq = pa.array([f"agent {i * 48271 % 300_000} ran tool {i} replied"
+                     for i in range(300_000)])
+    st = profile_array(uniq, "text")
+    assert st.sample_len == 65536
+    assert choose_codec(st)[0] == "fsst"
+    # and a genuinely low-cardinality column of the same size keeps dict
+    lowcard = pa.array(["user", "assistant", "tool", "system"] * 75_000)
+    assert choose_codec(profile_array(lowcard, "role"))[0] == "dict"
