@@ -30,6 +30,8 @@ import shutil
 import sys
 import time
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 def _run_slice(args) -> tuple[int, int]:
     """Encode a contiguous slice of chunk groups in one process."""
