@@ -351,6 +351,9 @@ DEDUP_EMB_MAX_PLANES = 16
 DEDUP_EMB_TABLES = 16
 EMB_TARGET_BUCKET = 256    # plane count chosen so E[bucket] ≈ this
 EMB_BUCKET_CAP = 512       # buckets wider than this go STAR, not all-pairs
+DEDUP_EMB_EXACT_MAX = 16384  # ≤ this many vectors: exact beats LSH (see
+#                              dedup_embedding_df) — brute force is both
+#                              cheaper and recall-exact at small n
 
 
 def _emb_planes_for(n_vectors: int) -> int:
@@ -459,7 +462,8 @@ def _emb_candidates(emb: DataFrame, n_planes: int,
 
 
 def dedup_embedding_df(emb: DataFrame, threshold: float = 0.42,
-                       bucket_cap: int = EMB_BUCKET_CAP) -> DataFrame:
+                       bucket_cap: int = EMB_BUCKET_CAP,
+                       exact_max: int = DEDUP_EMB_EXACT_MAX) -> DataFrame:
     """Embedding-cosine near-dup pairs: LSH blocking + exact rerank.
 
     Multi-table random-hyperplane signatures (seeded, vectorized numpy)
@@ -478,6 +482,31 @@ def dedup_embedding_df(emb: DataFrame, threshold: float = 0.42,
     of the crossJoin's O(n²); per-task pair fan-out bounded by
     bucket_cap² per bucket."""
     n = emb.count()  # metadata-cheap on parquet; fixes the plane count
+    if n <= exact_max:
+        # cost-based crossover: below ~16k vectors the exact pair scan
+        # (n²/2 JVM-codegen cosines, broadcast self-join) costs LESS
+        # than the LSH machinery's own candidate volume (~tables ×
+        # E[bucket] × n reranks plus 16 signature passes and two
+        # joins) — and it is exact. This matters for recall too: the
+        # adaptive plane count keeps E[bucket] ≈ 256 as n grows, and
+        # for a pair AT the low 0.42 threshold the per-table collision
+        # probability is 0.638^planes — at the 3 planes n≈2000 selects,
+        # the 16-table miss probability is ~0.8% (one observed miss in
+        # 441 pairs at sf0.1). Brute force below the crossover keeps
+        # the contract exact exactly where exactness is the cheaper
+        # plan; above it the LSH path's documented probabilistic miss
+        # bound applies.
+        a = emb.select(F.col("vec_id").alias("id_a"),
+                       F.col("embedding").alias("ea"))
+        b = emb.select(F.col("vec_id").alias("id_b"),
+                       F.col("embedding").alias("eb"))
+        return (
+            a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+            .withColumn("r_cos",
+                        F.round(_cos_expr(F.col("ea"), F.col("eb")), 6))
+            .filter(F.col("r_cos") >= threshold)
+            .select("id_a", "id_b", "r_cos")
+        )
     cand = _emb_candidates(emb, _emb_planes_for(n), bucket_cap)
     return (
         cand.withColumn("r_cos", F.round(_cos_expr(F.col("ea"), F.col("eb")), 6))

@@ -75,11 +75,17 @@ def test_frame_sample_counts(spark):
 
 
 def test_dedup_embedding_blocked_matches_exact(spark):
-    """The registered LSH-block + exact-rerank path must recover the
-    full brute-force pair set at test scale (seeded planes, 2×16)."""
+    """The LSH-block + exact-rerank arm must recover the full
+    brute-force pair set at test scale (seeded planes, 2×16) — forced
+    past the cost-based exact crossover with exact_max=0. The
+    registered path itself takes the exact arm at this n and must
+    (trivially but contractually) match too."""
     exact = {tuple(r) for r in P.dedup_embedding_exact(spark, SF).collect()}
-    blocked = {tuple(r) for r in P.dedup_embedding(spark, SF).collect()}
-    assert blocked == exact, (len(blocked), len(exact))
+    lsh = {tuple(r) for r in P.dedup_embedding_df(
+        P._embeddings(spark, SF), exact_max=0).collect()}
+    assert lsh == exact, (len(lsh), len(exact))
+    registered = {tuple(r) for r in P.dedup_embedding(spark, SF).collect()}
+    assert registered == exact, (len(registered), len(exact))
 
 
 def _near_dup_fixture(spark, n_cluster=3000, n_random=1000, dim=64):
@@ -115,7 +121,7 @@ def test_dedup_embedding_hot_bucket_star_cap(spark):
     cand = P._emb_candidates(emb, n_planes).count()
     # uncapped, the cluster alone is >= tables * k^2/2 = 72M pairs
     assert cand < (n_cluster * n_cluster) // 4, cand
-    pairs = P.dedup_embedding_df(emb, threshold=0.9)
+    pairs = P.dedup_embedding_df(emb, threshold=0.9, exact_max=0)
     nodes = emb.select(F.col("vec_id").alias("doc_id"))
     edges = pairs.select(F.col("id_a").alias("doc_a"),
                          F.col("id_b").alias("doc_b"))
