@@ -64,15 +64,25 @@ tail of any global aggregate, not a data shuffle.""",
 doc_id exchange), signature assembled from disjoint shiftleft bits in
 the projection. No BatchEvalPython / ArrowEvalPython node anywhere —
 the old per-document applyInPandas fold is gone.""",
-    "dedup_embedding": """LSH blocking replaces the old `CartesianProduct`: signatures from a
-vectorized `MapInPandas`, candidates from a (tbl, bucket) equi-join
-(`Exchange hashpartitioning(tbl, bucket)`), exact cosine rerank only
-on same-bucket pairs. Shuffle volume O(n·tables), not O(n²). The r4
-hot-bucket cap is CODED into the plan (hence the union of subtrees):
-buckets wider than the cap contribute STAR pairs through the bucket's
-min doc (the window/rank branch) instead of all-pairs — the same
-connected components at O(k) pairs per hot bucket, so one dense
-near-dup cluster can no longer fan out O(n²) candidates.""",
+    "dedup_embedding": """COST-BASED plan (r5): at this fixture's n=500 (≤ the 16384-vector
+crossover) the dumped plan is the EXACT arm — one
+`BroadcastNestedLoopJoin` over the id-ordered pair triangle with the
+JVM-codegen cosine rerank; below the crossover brute force costs less
+than the LSH machinery's own candidate volume (~4096·n reranks + 16
+signature passes + two joins) and is recall-exact. Above the
+crossover the registered plan is the LSH arm (pytest forces it via
+exact_max=0): signatures from a vectorized `MapInPandas`, candidates
+from a (tbl, bucket) equi-join (`Exchange hashpartitioning(tbl,
+bucket)`), exact cosine rerank only on same-bucket pairs — shuffle
+volume O(n·tables), not O(n²) — with the r4 hot-bucket star cap coded
+into the plan (buckets wider than the cap contribute STAR pairs
+through two reps instead of all-pairs).""",
+    "dedup_embedding_lsh": """The LSH arm itself (exact_max=0 — the registered plan above the
+16384-vector crossover), dumped so the at-scale plan stays auditable:
+vectorized `MapInPandas` signatures, (tbl, bucket) equi-join
+candidates, hot-bucket star cap (the union subtrees), exact cosine
+rerank. The only shuffles are the (tbl, bucket) hash exchanges —
+O(n·tables) rows.""",
 }
 
 
@@ -129,6 +139,8 @@ def main() -> int:
          P.simhash(spark, SF)),
         ("dedup_embedding", "Embedding near-dup, LSH-blocked",
          P.dedup_embedding(spark, SF)),
+        ("dedup_embedding_lsh", "Embedding near-dup, forced LSH arm",
+         P.dedup_embedding_df(P._embeddings(spark, SF), exact_max=0)),
     ]
 
     out = ["# PLANS — physical plans of the key paths\n",
